@@ -60,6 +60,39 @@ def _make_brief_pattern() -> np.ndarray:
 BRIEF_PATTERN = _make_brief_pattern()
 
 
+def _make_concentric_pattern(n_bits: int, seed: int) -> np.ndarray:
+    """(n_bits, 2, 2) int8 pairs drawn from BRISK-style concentric rings.
+
+    Sample points lie on rings of radius 0/3/6/9/12 with increasing point
+    counts; bit pairs are random short-distance pairs (deterministic seed).
+    Used for the brisk/akaze detector variants.
+    """
+    pts = [(0.0, 0.0)]
+    for r, n in ((3, 8), (6, 12), (9, 16), (12, 20)):
+        for i in range(n):
+            a = 2 * np.pi * i / n
+            pts.append((r * np.cos(a), r * np.sin(a)))
+    pts = np.array(pts)
+    rng = np.random.RandomState(seed)
+    pairs = []
+    while len(pairs) < n_bits:
+        i, j = rng.randint(0, len(pts), 2)
+        if i == j:
+            continue
+        d = np.linalg.norm(pts[i] - pts[j])
+        if d < 10.0:  # short pairs encode local structure
+            pairs.append((pts[i], pts[j]))
+    out = np.array(pairs)  # (n_bits, 2, 2)
+    return np.clip(np.round(out), -13, 13).astype(np.int8)
+
+
+VARIANT_PATTERNS = {
+    "orb": BRIEF_PATTERN,
+    "brisk": _make_concentric_pattern(512, 0xB1_5C),
+    "akaze": _make_concentric_pattern(512, 0xA_CA2E),
+}
+
+
 def _circular_mask() -> np.ndarray:
     """(31, 31) float mask of the radius-15 disc, for orientation moments."""
     yy, xx = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
@@ -158,9 +191,9 @@ def _orientation(img, xs, ys):
     return jnp.arctan2(m01, m10)
 
 
-def _brief_descriptors(img_blur, xs, ys, angles):
-    """Steered BRIEF bits: (N, 256) float32 of {0, 1}."""
-    pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)  # (256, 2, 2) (bit, pt, xy)
+def _brief_descriptors(img_blur, xs, ys, angles, pattern=BRIEF_PATTERN):
+    """Steered BRIEF bits: (N, n_bits) float32 of {0, 1}."""
+    pat = jnp.asarray(pattern, jnp.float32)  # (n_bits, 2, 2) (bit, pt, xy)
     cos, sin = jnp.cos(angles), jnp.sin(angles)    # (N,)
     px, py = pat[..., 0], pat[..., 1]              # (256, 2)
     # Rotate pattern per keypoint: (N, 256, 2)
@@ -173,9 +206,10 @@ def _brief_descriptors(img_blur, xs, ys, angles):
     return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("nfeatures", "with_mask"))
+@partial(jax.jit, static_argnames=("nfeatures", "with_mask", "variant"))
 def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
-               nfeatures: int = 500, with_mask: bool = False):
+               nfeatures: int = 500, with_mask: bool = False,
+               variant: str = "orb"):
     """Full ORB detection on an (H, W) float32 [0,255] image.
 
     Returns dict of arrays, each with leading dim `nfeatures`:
@@ -185,6 +219,7 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
     h, w = gray.shape
     sizes = _level_sizes(h, w)
     quotas = _level_quotas(nfeatures, len(sizes))
+    pattern = VARIANT_PATTERNS[variant]
 
     cand = {k: [] for k in ("score", "xy", "angle", "desc", "lvl", "inq")}
     for lvl, (lh, lw) in enumerate(sizes):
@@ -220,9 +255,8 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
         ok = top_scores > neg_inf / 2
 
         ang = _orientation(img, xs, ys)
-        img_blur = jax.lax.stop_gradient(
-            _blur_for_desc(img))
-        desc = _brief_descriptors(img_blur, xs, ys, ang)
+        img_blur = _blur_for_desc(img)
+        desc = _brief_descriptors(img_blur, xs, ys, ang, pattern)
 
         rank = jnp.arange(k_cap)
         cand["score"].append(jnp.where(ok, top_scores, neg_inf))
