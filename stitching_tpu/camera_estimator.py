@@ -170,6 +170,9 @@ class CameraEstimator:
                 inl_w[i, j] = matrix[i][j].num_inliers
         edges, center = _max_spanning_tree(n, inl_w)
 
+        # R_i maps panorama (= tree-center image) coords -> image i coords:
+        # R_v = H(u->v) @ R_u, R_center = I (verified vs the OpenCV oracle:
+        # AffineBasedEstimator returns R = H(center->i) in raw pixel coords).
         Rs = [None] * n
         Rs[center] = np.eye(3)
         frontier = [center]
@@ -178,11 +181,11 @@ class CameraEstimator:
             for u in frontier:
                 for v in edges[u]:
                     if Rs[v] is None:
-                        H_uv = matrix[u][v].H  # affine 3x3, centered coords
+                        H_uv = matrix[u][v].H  # affine 3x3, raw pixel coords
                         if H_uv is None:
                             Rs[v] = Rs[u].copy()
                         else:
-                            Rs[v] = Rs[u] @ np.linalg.inv(H_uv)
+                            Rs[v] = H_uv @ Rs[u]
                         nxt.append(v)
             frontier = nxt
 

@@ -88,9 +88,17 @@ class FeatureMatcher:
         if num_matches < MIN_RAW_MATCHES:
             return fwd, bwd
 
-        # Centered coordinates (cv.detail convention, verified vs OpenCV).
-        ca = np.array([fa.img_size[0] * 0.5, fa.img_size[1] * 0.5], np.float32)
-        cb = np.array([fb.img_size[0] * 0.5, fb.img_size[1] * 0.5], np.float32)
+        # The homography matcher fits H on CENTERED coordinates; the affine
+        # matcher uses raw pixel coordinates (both verified against the
+        # cv.detail oracle — AffineBestOf2NearestMatcher does not center).
+        if self.matcher_type == "affine":
+            ca = np.zeros(2, np.float32)
+            cb = np.zeros(2, np.float32)
+        else:
+            ca = np.array([fa.img_size[0] * 0.5, fa.img_size[1] * 0.5],
+                          np.float32)
+            cb = np.array([fb.img_size[0] * 0.5, fb.img_size[1] * 0.5],
+                          np.float32)
         src = np.asarray(fa.xy)[pairs[:, 0]] - ca
         dst = np.asarray(fb.xy)[pairs[:, 1]] - cb
 

@@ -104,22 +104,22 @@ def make_residual_fn(problem, variant, param_mask, params0):
             z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
             return (((q[..., :2] / z) - pts_dst) * sw[..., None]).reshape(-1)
     elif variant == "affine":
+        # Cameras hold A_i mapping pano -> image i (similarity, a,b,tx,ty).
+        # Predicted q = A_j A_i^-1 p, residual = q_hat - q.
         def residual(x):
             p = unpack(x)                                  # (N, 4) a,b,tx,ty
             a, b, tx, ty = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
-            pc_ai, pc_bi = a[src_idx], b[src_idx]
-            # forward: X = A_i p  (image i -> pano frame)
-            xi = (pc_ai[:, None] * pts_src[..., 0]
-                  - pc_bi[:, None] * pts_src[..., 1] + tx[src_idx][:, None])
-            yi = (pc_bi[:, None] * pts_src[..., 0]
-                  + pc_ai[:, None] * pts_src[..., 1] + ty[src_idx][:, None])
-            # inverse of A_j applied to X
+            # X = A_i^-1 p (image i -> pano frame)
+            ai, bi = a[src_idx], b[src_idx]
+            det = jnp.maximum(ai * ai + bi * bi, 1e-12)
+            dx = pts_src[..., 0] - tx[src_idx][:, None]
+            dy = pts_src[..., 1] - ty[src_idx][:, None]
+            X = (ai[:, None] * dx + bi[:, None] * dy) / det[:, None]
+            Y = (-bi[:, None] * dx + ai[:, None] * dy) / det[:, None]
+            # q_hat = A_j X
             aj, bj = a[dst_idx], b[dst_idx]
-            det = jnp.maximum(aj * aj + bj * bj, 1e-12)
-            dx = xi - tx[dst_idx][:, None]
-            dy = yi - ty[dst_idx][:, None]
-            qx = (aj[:, None] * dx + bj[:, None] * dy) / det[:, None]
-            qy = (-bj[:, None] * dx + aj[:, None] * dy) / det[:, None]
+            qx = aj[:, None] * X - bj[:, None] * Y + tx[dst_idx][:, None]
+            qy = bj[:, None] * X + aj[:, None] * Y + ty[dst_idx][:, None]
             rx = qx - pts_dst[..., 0]
             ry = qy - pts_dst[..., 1]
             return (jnp.stack([rx, ry], -1) * sw[..., None]).reshape(-1)
