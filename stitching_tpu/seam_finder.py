@@ -1,0 +1,149 @@
+"""Seam finder component.
+
+Parity: reference `stitching/seam_finder.py:1-146` — registry dp_color
+(default) / dp_colorgrad / gc_color / gc_colorgrad / voronoi / no; `find`
+casts images to float32 (:33-35); `resize` dilates the seam mask, resizes to
+the final mask size and ANDs with the warp mask (:37-43); the viz helpers
+(`draw_seam_mask`, `blend_seam_masks`, `draw_seam_lines`/`extract_seam_lines`
+with neighbor-validity filtering, `draw_seam_polygons`). Seam math in
+`ops/seam.py` (gc currently routes to dp — see there).
+"""
+
+import warnings
+from collections import OrderedDict
+
+import numpy as np
+
+from .blender import Blender
+from .errors import StitchingError, StitchingWarning
+from .ops.resize import resize as _resize
+from .ops.seam import dp_pairwise_seams, voronoi_seams
+
+
+class SeamFinder:
+    SEAM_FINDER_CHOICES = OrderedDict(
+        dp_color=("dp", False),
+        dp_colorgrad=("dp", True),
+        gc_color=("dp", False),       # TODO(graphcut): true min-cut kernel
+        gc_colorgrad=("dp", True),
+        voronoi=("voronoi", None),
+        no=("no", None),
+    )
+    DEFAULT_SEAM_FINDER = list(SEAM_FINDER_CHOICES.keys())[0]
+
+    def __init__(self, finder=DEFAULT_SEAM_FINDER):
+        if finder not in self.SEAM_FINDER_CHOICES:
+            raise StitchingError("invalid seam finder: " + str(finder))
+        self.finder_name = finder
+        self.kind, self.use_grad = self.SEAM_FINDER_CHOICES[finder]
+
+    def find(self, imgs, corners, masks):
+        imgs = [np.asarray(img).astype(np.float32) for img in imgs]
+        masks = [np.asarray(m) for m in masks]
+        if self.kind == "no":
+            return [m.copy() for m in masks]
+        if self.kind == "voronoi":
+            return voronoi_seams(corners, masks)
+        return dp_pairwise_seams(imgs, corners, masks, self.use_grad)
+
+    @staticmethod
+    def resize(seam_mask, mask):
+        dilated = _dilate3(np.asarray(seam_mask))
+        resized = _resize(dilated, (mask.shape[1], mask.shape[0]))
+        return np.where(np.asarray(mask) > 0, resized, 0)
+
+    @staticmethod
+    def draw_seam_mask(img, seam_mask, color=(0, 0, 0)):
+        seam_mask = np.asarray(seam_mask)
+        overlaid_img = np.copy(img)
+        overlaid_img[seam_mask == 0] = color
+        return overlaid_img
+
+    @staticmethod
+    def draw_seam_polygons(panorama, blended_seam_masks, alpha=0.5):
+        return add_weighted_image(panorama, blended_seam_masks, alpha)
+
+    @staticmethod
+    def draw_seam_lines(panorama, blended_seam_masks, linesize=1,
+                        color=(0, 0, 255)):
+        seam_lines = SeamFinder.extract_seam_lines(
+            blended_seam_masks, linesize)
+        out = panorama.copy()
+        out[seam_lines == 255] = color
+        return out
+
+    @staticmethod
+    def extract_seam_lines(blended_seam_masks, linesize=1):
+        # Color-region boundaries (Canny analog: neighbor-difference edges).
+        m = np.asarray(blended_seam_masks).astype(np.int32)
+        diff = np.zeros(m.shape[:2], bool)
+        diff[:, 1:] |= (m[:, 1:] != m[:, :-1]).any(-1)
+        diff[1:, :] |= (m[1:, :] != m[:-1, :]).any(-1)
+        lines = (diff * 255).astype(np.uint8)
+        # drop pixels touching the black (invalid) region
+        black = (m == 0).all(-1)
+        near_black = black.copy()
+        near_black[1:, :] |= black[:-1, :]
+        near_black[:-1, :] |= black[1:, :]
+        near_black[:, 1:] |= black[:, :-1]
+        near_black[:, :-1] |= black[:, 1:]
+        lines[near_black] = 0
+        for _ in range(linesize - 1):
+            lines = _dilate3(lines)
+        return lines
+
+    @staticmethod
+    def blend_seam_masks(
+        seam_masks,
+        corners,
+        sizes,
+        colors=(
+            (255, 000, 000),  # Red
+            (000, 000, 255),  # Blue
+            (000, 255, 000),  # Green
+            (000, 255, 255),  # Yellow
+            (255, 000, 255),  # Purple
+            (128, 128, 255),  # Pink
+            (128, 128, 128),  # Gray
+            (000, 000, 128),  # Dark Blue
+            (000, 128, 255),  # Light Blue
+        ),
+    ):
+        imgs = colored_img_generator(sizes, colors)
+        blended_seam_masks, _ = Blender.create_panorama(
+            imgs, seam_masks, corners, sizes)
+        return blended_seam_masks
+
+
+def _dilate3(mask):
+    """3x3 full-kernel dilation (cv.dilate(mask, None) analog)."""
+    m = np.asarray(mask)
+    p = np.pad(m, 1)
+    out = m.copy()
+    for dy in range(3):
+        for dx in range(3):
+            out = np.maximum(out, p[dy:dy + m.shape[0], dx:dx + m.shape[1]])
+    return out
+
+
+def colored_img_generator(sizes, colors):
+    if len(sizes) + 1 > len(colors):
+        warnings.warn(
+            "Without additional colors, there will be seam masks with identical colors",  # noqa: E501
+            StitchingWarning,
+        )
+    for idx, size in enumerate(sizes):
+        yield create_img_by_size(size, colors[idx % len(colors)])
+
+
+def create_img_by_size(size, color=(0, 0, 0)):
+    width, height = size
+    img = np.zeros((height, width, 3), np.uint8)
+    img[:] = color
+    return img
+
+
+def add_weighted_image(img1, img2, alpha):
+    out = (np.asarray(img1, np.float32) * alpha
+           + np.asarray(img2, np.float32) * (1.0 - alpha))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

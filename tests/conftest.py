@@ -1,0 +1,24 @@
+"""Test configuration: CPU backend with virtual multi-device mesh.
+
+Mirrors the reference's CI strategy (single CPU runner) while enabling
+multi-chip sharding tests via XLA's host-platform device-count flag
+(SURVEY.md §4 'implication for the TPU build's test strategy').
+"""
+
+import os
+import sys
+
+# Must run before jax import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+sys.path.insert(0, os.path.dirname(__file__))
