@@ -35,6 +35,17 @@ def _canvas_layout(corners, sizes):
     return (x0, y0), (x1 - x0, y1 - y0)
 
 
+def _dt_bucketed(mask):
+    """Distance transform with the input zero-padded to a 64 bucket (one
+    compile per bucket; zero padding is exact — outside the warp mask there
+    is genuinely no coverage)."""
+    h, w = mask.shape
+    bh = -(-h // 64) * 64
+    bw = -(-w // 64) * 64
+    padded = np.pad(np.asarray(mask), ((0, bh - h), (0, bw - w)))
+    return np.asarray(distance_transform_l1(jnp.asarray(padded)))[:h, :w]
+
+
 def voronoi_seams(corners, masks):
     """Global deepest-inside partition. masks: list of (h, w) uint8.
     Returns new seam masks (uint8 {0,255}), same shapes."""
@@ -43,7 +54,7 @@ def voronoi_seams(corners, masks):
     n = len(masks)
     dists = np.full((n, ch, cw), -1.0, np.float32)
     for i, (c, m) in enumerate(zip(corners, masks)):
-        d = np.asarray(distance_transform_l1(jnp.asarray(m)))
+        d = _dt_bucketed(m)
         ys, xs = c[1] - y0, c[0] - x0
         dists[i, ys:ys + m.shape[0], xs:xs + m.shape[1]] = np.where(
             m > 0, d, -1.0)
@@ -60,10 +71,15 @@ def voronoi_seams(corners, masks):
 
 
 @partial(jax.jit, static_argnames=("h", "w"))
-def _dp_seam_kernel(cost, valid, h, w):
-    """Vertical seam DP: cost (h, w); returns per-row seam column (h,)."""
-    big = jnp.float32(1e18)
-    c = jnp.where(valid, cost, big * 0.001)
+def _dp_seam_kernel(cost, h, w):
+    """Vertical seam DP: cost (h, w); returns per-row seam column (h,).
+
+    Costs must be pre-penalized by the caller (invalid cells get a moderate
+    additive penalty, NOT +inf: the running sum must stay small enough that
+    real per-cell cost differences survive float32 addition).
+    """
+    big = jnp.float32(3e37)
+    c = cost
 
     def fwd(prev, row):
         left = jnp.concatenate([jnp.full((1,), big), prev[:-1]])
@@ -132,8 +148,19 @@ def _dp_pair(imgs, corners, masks, i, j, use_grad):
     cost = diff if vertical else diff.T
     valid = both if vertical else both.T
     h, w = cost.shape
-    cols = np.asarray(_dp_seam_kernel(
-        jnp.asarray(cost, jnp.float32), jnp.asarray(valid), h, w))
+    # Bucket the DP problem to bound recompilation. Invalid cells get a
+    # moderate additive penalty (any valid route beats any invalid one, yet
+    # the running float32 sum keeps per-cell resolution). Padded rows are
+    # free (cost 0) so they only relax the bottom boundary; padded columns
+    # are penalized so the path stays in the real region.
+    INVALID_PENALTY = 1e4
+    bh = -(-h // 64) * 64
+    bw = -(-w // 64) * 64
+    cost_b = np.zeros((bh, bw), np.float32)
+    cost_b[:h, :w] = np.where(valid, cost, cost + INVALID_PENALTY)
+    cost_b[:h, w:] = INVALID_PENALTY
+    cols = np.asarray(_dp_seam_kernel(jnp.asarray(cost_b), bh, bw))[:h]
+    cols = np.clip(cols, 0, w - 1)
 
     # side assignment: which image owns the low-column side
     col_idx = np.arange(w)[None, :]

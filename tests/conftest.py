@@ -8,12 +8,11 @@ multi-chip sharding tests via XLA's host-platform device-count flag
 import os
 import sys
 
-# Must run before jax import.
+# Must run before jax import. The main suite runs single-device (virtual
+# multi-device changes every XLA cache key and quadruples compile time on
+# this 2-vCPU runner); sharding tests spawn subprocesses with
+# --xla_force_host_platform_device_count=8 (see tests/test_parallel.py).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
