@@ -1,0 +1,90 @@
+"""Seam finders and exposure compensation on synthetic overlaps."""
+
+import numpy as np
+
+from stitching_tpu.exposure_error_compensator import ExposureErrorCompensator
+from stitching_tpu.seam_finder import SeamFinder
+
+
+def _overlap_pair():
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (128, 384, 3), np.uint8)
+    img1 = base[:, :256].copy()
+    img2 = base[:, 128:].copy()
+    corners = [(0, 0), (128, 0)]
+    masks = [np.full((128, 256), 255, np.uint8),
+             np.full((128, 256), 255, np.uint8)]
+    return [img1, img2], corners, masks
+
+
+def test_voronoi_partition():
+    imgs, corners, masks = _overlap_pair()
+    finder = SeamFinder("voronoi")
+    seams = finder.find(imgs, corners, masks)
+    # each pixel of the overlap should belong to exactly one image;
+    # exclusive regions keep their owner
+    assert (seams[0][:, :128] > 0).all()
+    assert (seams[1][:, 128:] > 0).all()
+    s0 = seams[0][:, 128:] > 0
+    s1 = seams[1][:, :128] > 0
+    union = s0 | s1
+    assert union.all()
+    # voronoi splits the overlap near its middle
+    mid = 64
+    assert (seams[0][:, 128 + mid - 20] > 0).mean() > 0.9
+    assert (seams[1][:, mid + 20] > 0).mean() > 0.9
+
+
+def test_dp_seam_covers():
+    imgs, corners, masks = _overlap_pair()
+    finder = SeamFinder("dp_color")
+    seams = finder.find(imgs, corners, masks)
+    s0 = seams[0][:, 128:] > 0
+    s1 = seams[1][:, :128] > 0
+    assert (s0 | s1).all()
+
+
+def test_no_seam():
+    imgs, corners, masks = _overlap_pair()
+    finder = SeamFinder("no")
+    seams = finder.find(imgs, corners, masks)
+    assert (seams[0] == masks[0]).all()
+
+
+def test_seam_resize():
+    seam = np.zeros((64, 128), np.uint8)
+    seam[:, :64] = 255
+    mask = np.full((128, 256), 255, np.uint8)
+    out = SeamFinder.resize(seam, mask)
+    assert out.shape == (128, 256)
+    assert (out[:, :100] > 0).all()
+    assert (out[:, 140:] == 0).all()
+
+
+def test_gain_compensation_recovers_exposure():
+    rng = np.random.RandomState(0)
+    base = rng.randint(60, 200, (128, 384, 3)).astype(np.float32)
+    # image 2 is 20% darker
+    img1 = base[:, :256].astype(np.uint8)
+    img2 = np.clip(base[:, 128:] * 0.8, 0, 255).astype(np.uint8)
+    corners = [(0, 0), (128, 0)]
+    masks = [np.full((128, 256), 255, np.uint8)] * 2
+    comp = ExposureErrorCompensator("gain")
+    comp.feed(corners, [img1, img2], masks)
+    g1, g2 = comp._gains[0][0], comp._gains[1][0]
+    # relative gain should brighten image 2 vs image 1 by ~1/0.8
+    assert 1.15 < g2 / g1 < 1.35
+    out2 = comp.apply(1, corners[1], img2)
+    assert out2.mean() > img2.mean() * 1.05
+
+
+def test_block_gain_compensation_runs():
+    imgs, corners, masks = _overlap_pair()
+    comp = ExposureErrorCompensator("gain_blocks", block_size=32)
+    comp.feed(corners, imgs, masks)
+    out = comp.apply(0, corners[0], imgs[0])
+    assert out.shape == imgs[0].shape
+    comp2 = ExposureErrorCompensator("channel_blocks", block_size=32)
+    comp2.feed(corners, imgs, masks)
+    out2 = comp2.apply(1, corners[1], imgs[1])
+    assert out2.shape == imgs[1].shape

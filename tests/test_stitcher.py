@@ -1,0 +1,77 @@
+"""End-to-end Stitcher contracts (reference tests/test_stitcher.py adapted to
+synthetic fixtures): shape-based golden outputs with tolerance, error and
+warning behavior, settings validation."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from fixtures import affine_set
+from stitching_tpu import AffineStitcher, Stitcher
+from stitching_tpu.errors import StitchingError, StitchingWarning
+
+
+def test_invalid_kwarg():
+    with pytest.raises(StitchingError):
+        Stitcher(invalid_arg=1)
+
+
+def test_affine_default_override_warns():
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        AffineStitcher(estimator="homography")
+        assert any(issubclass(x.category, StitchingWarning) for x in w)
+
+
+def test_settings_schema():
+    # 26-key schema: the reference's 20 keys are all present
+    for key in ("medium_megapix", "detector", "nfeatures", "matcher_type",
+                "range_width", "try_use_gpu", "match_conf",
+                "confidence_threshold", "matches_graph_dot_file",
+                "estimator", "adjuster", "refinement_mask",
+                "wave_correct_kind", "warper_type", "low_megapix", "crop",
+                "compensator", "nr_feeds", "block_size", "finder",
+                "final_megapix", "blender_type", "blend_strength",
+                "timelapse", "timelapse_prefix"):
+        assert key in Stitcher.DEFAULT_SETTINGS, key
+
+
+@pytest.mark.slow
+def test_affine_stitch_e2e():
+    imgs, offsets = affine_set(n=3)
+    stitcher = AffineStitcher(crop=False)
+    pano = stitcher.stitch(imgs)
+    xs = [o[0] for o in offsets]
+    ys = [o[1] for o in offsets]
+    expected = (max(ys) + 480 - min(ys), max(xs) + 640 - min(xs))
+    np.testing.assert_allclose(pano.shape[:2], expected, atol=8)
+    assert (pano.sum(-1) > 0).mean() > 0.98
+
+
+@pytest.mark.slow
+def test_affine_stitch_cropped():
+    imgs, _ = affine_set(n=3)
+    stitcher = AffineStitcher(crop=True)
+    pano = stitcher.stitch(imgs)
+    # crop removes the black border entirely
+    assert (pano.sum(-1) > 0).mean() > 0.999
+
+
+@pytest.mark.slow
+def test_subsetting_drops_unmatchable_image():
+    imgs, offsets = affine_set(n=3)
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 255, imgs[0].shape, np.uint8)
+    with pytest.warns(StitchingWarning):
+        stitcher = AffineStitcher(crop=False, confidence_threshold=1.0)
+        pano = stitcher.stitch(imgs + [noise])
+    assert pano is not None
+
+
+def test_no_confident_match_raises():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 255, (300, 400, 3), np.uint8)
+    b = rng.randint(0, 255, (300, 400, 3), np.uint8)
+    with pytest.raises(StitchingError):
+        AffineStitcher().stitch([a, b])
