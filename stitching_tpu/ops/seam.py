@@ -114,6 +114,60 @@ def dp_pairwise_seams(imgs, corners, masks, use_grad):
     return [(m > 0).astype(np.uint8) * 255 for m in masks]
 
 
+def gc_pairwise_seams(imgs, corners, masks, use_grad):
+    """Pairwise graph-cut seams (push-relabel min-cut, `ops/graphcut.py`),
+    updating masks in-place order (i<j) like the native GraphCutSeamFinder."""
+    from .graphcut import seam_cut_pair
+
+    masks = [np.asarray(m).copy() for m in masks]
+    imgs = [np.asarray(im, np.float32) for im in imgs]
+    n = len(imgs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ov = _overlap_views(imgs, corners, masks, i, j)
+            if ov is None:
+                continue
+            si, sj, mi, mj, ai, aj = ov
+            both = mi & mj
+            if both.sum() < 2:
+                continue
+            only_i = mi & ~mj
+            only_j = mj & ~mi
+            # Bucket the tile for compile reuse; padding is invalid space.
+            h, w = both.shape
+            bh = -(-h // 64) * 64
+            bw = -(-w // 64) * 64
+            pad = ((0, bh - h), (0, bw - w))
+            own_i = np.asarray(seam_cut_pair(
+                jnp.asarray(np.pad(ai, pad + ((0, 0),))),
+                jnp.asarray(np.pad(aj, pad + ((0, 0),))),
+                jnp.asarray(np.pad(both, pad)),
+                jnp.asarray(np.pad(only_i, pad)),
+                jnp.asarray(np.pad(only_j, pad)),
+                use_grad))[:h, :w]
+            keep_i = ~both | own_i
+            keep_j = ~both | ~own_i
+            masks[i][si] = np.where(mi & keep_i, masks[i][si], 0)
+            masks[j][sj] = np.where(mj & keep_j, masks[j][sj], 0)
+    return [(m > 0).astype(np.uint8) * 255 for m in masks]
+
+
+def _overlap_views(imgs, corners, masks, i, j):
+    """Aligned overlap slices for a pair; None if no overlap."""
+    ci, cj = corners[i], corners[j]
+    hi, wi = masks[i].shape
+    hj, wj = masks[j].shape
+    x0, y0 = max(ci[0], cj[0]), max(ci[1], cj[1])
+    x1 = min(ci[0] + wi, cj[0] + wj)
+    y1 = min(ci[1] + hi, cj[1] + hj)
+    if x1 <= x0 or y1 <= y0:
+        return None
+    si = np.s_[y0 - ci[1]:y1 - ci[1], x0 - ci[0]:x1 - ci[0]]
+    sj = np.s_[y0 - cj[1]:y1 - cj[1], x0 - cj[0]:x1 - cj[0]]
+    return (si, sj, masks[i][si] > 0, masks[j][sj] > 0,
+            imgs[i][si], imgs[j][sj])
+
+
 def _dp_pair(imgs, corners, masks, i, j, use_grad):
     ci, cj = corners[i], corners[j]
     hi, wi = masks[i].shape

@@ -17,15 +17,15 @@ import numpy as np
 from .blender import Blender
 from .errors import StitchingError, StitchingWarning
 from .ops.resize import resize as _resize
-from .ops.seam import dp_pairwise_seams, voronoi_seams
+from .ops.seam import dp_pairwise_seams, gc_pairwise_seams, voronoi_seams
 
 
 class SeamFinder:
     SEAM_FINDER_CHOICES = OrderedDict(
         dp_color=("dp", False),
         dp_colorgrad=("dp", True),
-        gc_color=("dp", False),       # TODO(graphcut): true min-cut kernel
-        gc_colorgrad=("dp", True),
+        gc_color=("gc", False),
+        gc_colorgrad=("gc", True),
         voronoi=("voronoi", None),
         no=("no", None),
     )
@@ -44,6 +44,8 @@ class SeamFinder:
             return [m.copy() for m in masks]
         if self.kind == "voronoi":
             return voronoi_seams(corners, masks)
+        if self.kind == "gc":
+            return gc_pairwise_seams(imgs, corners, masks, self.use_grad)
         return dp_pairwise_seams(imgs, corners, masks, self.use_grad)
 
     @staticmethod

@@ -104,37 +104,55 @@ class Stitcher:
         return verbose_stitching(self, images, feature_masks, verbose_dir)
 
     def stitch(self, images, feature_masks=[]):
+        from . import profiling as prof
+
         self.images = Images.of(
             images, self.medium_megapix, self.low_megapix, self.final_megapix)
 
-        imgs = self.resize_medium_resolution()
-        features = self.find_features(imgs, feature_masks)
-        matches = self.match_features(features)
-        imgs, features, matches = self.subset(imgs, features, matches)
-        cameras = self.estimate_camera_parameters(features, matches)
-        cameras = self.refine_camera_parameters(features, matches, cameras)
-        cameras = self.perform_wave_correction(cameras)
+        with prof.stage_timer("registration/resize_medium"):
+            imgs = self.resize_medium_resolution()
+        with prof.stage_timer("registration/detect"):
+            features = self.find_features(imgs, feature_masks)
+        with prof.stage_timer("registration/match"):
+            matches = self.match_features(features)
+        with prof.stage_timer("registration/subset"):
+            imgs, features, matches = self.subset(imgs, features, matches)
+        with prof.stage_timer("registration/estimate"):
+            cameras = self.estimate_camera_parameters(features, matches)
+        with prof.stage_timer("registration/bundle_adjust"):
+            cameras = self.refine_camera_parameters(
+                features, matches, cameras)
+        with prof.stage_timer("registration/wave_correct"):
+            cameras = self.perform_wave_correction(cameras)
         self.estimate_scale(cameras)
 
-        imgs = self.resize_low_resolution(imgs)
-        imgs, masks, corners, sizes = self.warp_low_resolution(imgs, cameras)
-        self.prepare_cropper(imgs, masks, corners, sizes)
-        imgs, masks, corners, sizes = self.crop_low_resolution(
-            imgs, masks, corners, sizes)
-        self.estimate_exposure_errors(corners, imgs, masks)
-        seam_masks = self.find_seam_masks(imgs, corners, masks)
+        with prof.stage_timer("low/resize+warp"):
+            imgs = self.resize_low_resolution(imgs)
+            imgs, masks, corners, sizes = self.warp_low_resolution(
+                imgs, cameras)
+        with prof.stage_timer("low/crop"):
+            self.prepare_cropper(imgs, masks, corners, sizes)
+            imgs, masks, corners, sizes = self.crop_low_resolution(
+                imgs, masks, corners, sizes)
+        with prof.stage_timer("low/exposure_feed"):
+            self.estimate_exposure_errors(corners, imgs, masks)
+        with prof.stage_timer("low/seam_find"):
+            seam_masks = self.find_seam_masks(imgs, corners, masks)
 
-        imgs = self.resize_final_resolution()
-        imgs, masks, corners, sizes = self.warp_final_resolution(imgs, cameras)
-        imgs, masks, corners, sizes = self.crop_final_resolution(
-            imgs, masks, corners, sizes)
+        with prof.stage_timer("final/warp+crop"):
+            imgs = self.resize_final_resolution()
+            imgs, masks, corners, sizes = self.warp_final_resolution(
+                imgs, cameras)
+            imgs, masks, corners, sizes = self.crop_final_resolution(
+                imgs, masks, corners, sizes)
         self.set_masks(masks)
         imgs = self.compensate_exposure_errors(corners, imgs)
         seam_masks = self.resize_seam_masks(seam_masks)
 
-        self.initialize_composition(corners, sizes)
-        self.blend_images(imgs, seam_masks, corners)
-        return self.create_final_panorama()
+        with prof.stage_timer("final/compose"):
+            self.initialize_composition(corners, sizes)
+            self.blend_images(imgs, seam_masks, corners)
+            return self.create_final_panorama()
 
     def resize_medium_resolution(self):
         return list(self.images.resize(Images.Resolution.MEDIUM))
