@@ -5,16 +5,51 @@ Replaces the 2-NN matching core of `cv.detail_BestOf2NearestMatcher`
 per image pair, 2-nearest-neighbour descriptor match in both directions with
 the ratio filter `d0 < (1 - match_conf) * d1`, union of the two directions.
 
-TPU-first: the whole distance matrix is ONE matmul on the MXU —
+TPU-first: on TPU the per-direction 2-NN runs as a fused Pallas kernel
+(`ops/pallas/two_nn.py` — MXU distance tile + VPU top-2 without the (N, N)
+matrix ever touching HBM). The XLA fallback is one matmul on the MXU —
 for bit-unpacked binary descriptors a, b in {0,1}^256,
 Hamming(a, b) = sum(a) + sum(b) - 2 a.b; for float descriptors
-L2^2 = |a|^2 + |b|^2 - 2 a.b. Top-2 comes from `lax.top_k`.
+L2^2 = |a|^2 + |b|^2 - 2 a.b — followed by `lax.top_k`.
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from .pallas import two_nn, use_pallas
+
+# Pallas keeps the target set + one distance tile in VMEM; beyond this many
+# descriptors, fall back to the HBM-resident XLA path.
+_PALLAS_MAX_TARGETS = 8192
+
+
+def _two_nn_xla(desc_q, valid_q, desc_t, valid_t, is_binary):
+    """(d0, d1, i0) per query row, distance-matrix-in-HBM fallback."""
+    big = jnp.float32(3.0e38)
+    prod = jnp.dot(desc_q, desc_t.T, preferred_element_type=jnp.float32)
+    if is_binary:
+        sq = jnp.sum(desc_q, axis=1)
+        st = jnp.sum(desc_t, axis=1)
+        dist = sq[:, None] + st[None, :] - 2.0 * prod  # Hamming
+    else:
+        sq = jnp.sum(desc_q * desc_q, axis=1)
+        st = jnp.sum(desc_t * desc_t, axis=1)
+        d2 = jnp.maximum(sq[:, None] + st[None, :] - 2.0 * prod, 0.0)
+        dist = jnp.sqrt(d2)  # L2 (OpenCV DMatch convention for floats)
+    dist = jnp.where(valid_q[:, None] & valid_t[None, :], dist, big)
+    neg, idx = jax.lax.top_k(-dist, 2)
+    return -neg[:, 0], -neg[:, 1], idx[:, 0]
+
+
+def _two_nn_rows(desc_q, valid_q, desc_t, valid_t, is_binary):
+    if use_pallas() and desc_t.shape[0] <= _PALLAS_MAX_TARGETS:
+        d0, d1, i0 = two_nn(desc_q, desc_t, valid_t, is_binary=is_binary)
+        if not is_binary:
+            d0, d1 = jnp.sqrt(d0), jnp.sqrt(d1)
+        return d0, d1, i0
+    return _two_nn_xla(desc_q, valid_q, desc_t, valid_t, is_binary)
 
 
 @partial(jax.jit, static_argnames=("is_binary",))
@@ -32,30 +67,17 @@ def match_pair(desc_a, valid_a, desc_b, valid_b, match_conf, *, is_binary=True):
     """
     na = desc_a.shape[0]
     nb = desc_b.shape[0]
-    big = jnp.float32(3.0e38)
+    # Upper bound below any invalid-entry sentinel in either backend
+    # (pallas uses 1e30, the XLA path 3e38).
+    real = jnp.float32(1e29)
 
-    prod = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
-    if is_binary:
-        sa = jnp.sum(desc_a, axis=1)
-        sb = jnp.sum(desc_b, axis=1)
-        dist = sa[:, None] + sb[None, :] - 2.0 * prod  # Hamming
-    else:
-        sa = jnp.sum(desc_a * desc_a, axis=1)
-        sb = jnp.sum(desc_b * desc_b, axis=1)
-        d2 = jnp.maximum(sa[:, None] + sb[None, :] - 2.0 * prod, 0.0)
-        dist = jnp.sqrt(d2)  # L2 (OpenCV DMatch convention for floats)
+    d0f, d1f, fwd_j = _two_nn_rows(desc_a, valid_a, desc_b, valid_b,
+                                   is_binary)
+    d0b, d1b, bwd_i = _two_nn_rows(desc_b, valid_b, desc_a, valid_a,
+                                   is_binary)
 
-    dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, big)
-
-    def two_nn(d, valid_rows):
-        # d: (Q, T); returns best index + ratio-test pass mask per row
-        neg, idx = jax.lax.top_k(-d, 2)
-        d0, d1 = -neg[:, 0], -neg[:, 1]
-        ok = (d0 < (1.0 - match_conf) * d1) & (d0 < big / 2) & valid_rows
-        return idx[:, 0], ok
-
-    fwd_j, fwd_ok = two_nn(dist, valid_a)          # a -> b
-    bwd_i, bwd_ok = two_nn(dist.T, valid_b)        # b -> a
+    fwd_ok = (d0f < (1.0 - match_conf) * d1f) & (d0f < real) & valid_a
+    bwd_ok = (d0b < (1.0 - match_conf) * d1b) & (d0b < real) & valid_b
 
     # Union: all forward pairs, plus backward pairs not duplicating a forward
     # one (i.e. where forward didn't match i -> j already).

@@ -36,36 +36,50 @@ def _canvas_layout(corners, sizes):
 
 
 def _dt_bucketed(mask):
-    """Distance transform with the input zero-padded to a 64 bucket (one
-    compile per bucket; zero padding is exact — outside the warp mask there
-    is genuinely no coverage)."""
+    """Distance to the nearest NONZERO pixel of `mask`, with the input
+    padded to a 64 bucket (one compile per bucket). Padding is zero — i.e.
+    "not a target" — so it is exact; where `mask` has no nonzero pixels the
+    result is ~1e9 everywhere."""
     h, w = mask.shape
     bh = -(-h // 64) * 64
     bw = -(-w // 64) * 64
-    padded = np.pad(np.asarray(mask), ((0, bh - h), (0, bw - w)))
-    return np.asarray(distance_transform_l1(jnp.asarray(padded)))[:h, :w]
+    inv = np.pad((np.asarray(mask) == 0).astype(np.uint8),
+                 ((0, bh - h), (0, bw - w)), constant_values=1)
+    return np.asarray(distance_transform_l1(jnp.asarray(inv)))[:h, :w]
 
 
 def voronoi_seams(corners, masks):
-    """Global deepest-inside partition. masks: list of (h, w) uint8.
-    Returns new seam masks (uint8 {0,255}), same shapes."""
+    """Voronoi partition by proximity to each image's EXCLUSIVE region.
+
+    cv.detail VoronoiSeamFinder semantics (seam_finders.cpp findInPair):
+    contested pixels (covered by >= 2 masks) go to the image whose
+    unique-coverage territory is nearest (L1 distance transform of the
+    complement of `mask_i & ~union(others)`); ties go to the lower index.
+    Done globally over the canvas instead of pairwise — for two images it
+    reduces to the pairwise rule. masks: list of (h, w) uint8. Returns new
+    seam masks (uint8 {0,255}), same shapes."""
     sizes = [(m.shape[1], m.shape[0]) for m in masks]
     (x0, y0), (cw, ch) = _canvas_layout(corners, sizes)
     n = len(masks)
-    dists = np.full((n, ch, cw), -1.0, np.float32)
-    for i, (c, m) in enumerate(zip(corners, masks)):
-        d = _dt_bucketed(m)
+    cover = np.zeros((ch, cw), np.int32)
+    canvas_masks = []
+    for c, m in zip(corners, masks):
+        cm = np.zeros((ch, cw), bool)
         ys, xs = c[1] - y0, c[0] - x0
-        dists[i, ys:ys + m.shape[0], xs:xs + m.shape[1]] = np.where(
-            m > 0, d, -1.0)
-    owner = np.argmax(dists, axis=0)
-    covered = (dists > 0).any(0)
+        cm[ys:ys + m.shape[0], xs:xs + m.shape[1]] = m > 0
+        canvas_masks.append(cm)
+        cover += cm
+    dists = np.empty((n, ch, cw), np.float32)
+    for i, cm in enumerate(canvas_masks):
+        unique = cm & (cover == 1)
+        dists[i] = _dt_bucketed(unique.astype(np.uint8))
+    owner = np.argmin(dists, axis=0)
     out = []
     for i, (c, m) in enumerate(zip(corners, masks)):
         ys, xs = c[1] - y0, c[0] - x0
-        own = owner[ys:ys + m.shape[0], xs:xs + m.shape[1]] == i
-        cov = covered[ys:ys + m.shape[0], xs:xs + m.shape[1]]
-        keep = (m > 0) & (own | ~cov)
+        sl = np.s_[ys:ys + m.shape[0], xs:xs + m.shape[1]]
+        contested = cover[sl] >= 2
+        keep = (m > 0) & (~contested | (owner[sl] == i))
         out.append((keep * 255).astype(np.uint8))
     return out
 

@@ -118,11 +118,17 @@ def test_min_cut_matches_oracle_cost(seed):
 
 
 def test_seam_cut_pair_splits_overlap():
+    # With identical content every vertical line is a minimum cut, so the
+    # cut position would be arbitrary. Make the min cut unique: the images
+    # agree only in a narrow vertical band in the middle of the overlap —
+    # the cheapest cut must pass through that band.
     rng = np.random.RandomState(0)
     h, w = 32, 64
     base = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
     img_i = base.copy()
-    img_j = base.copy()
+    img_j = np.clip(base + 120.0, 0, 255)
+    band = slice(28, 36)  # low-cost corridor inside the overlap
+    img_j[:, band] = img_i[:, band]
     only_i = np.zeros((h, w), bool)
     only_j = np.zeros((h, w), bool)
     only_i[:, :8] = True
@@ -134,6 +140,9 @@ def test_seam_cut_pair_splits_overlap():
     # exclusive regions stay with their owners
     assert own_i[:, :8].all()
     assert not own_i[:, -8:].any()
-    # the cut splits the overlap into two connected halves
+    # the cut runs through the cheap band: everything left of it belongs to
+    # i, everything right of it to j
+    assert own_i[:, 8:28].all()
+    assert not own_i[:, 36:].any()
     frac = own_i[both].mean()
-    assert 0.1 < frac < 0.9
+    assert 0.2 < frac < 0.8

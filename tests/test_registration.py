@@ -54,8 +54,10 @@ def test_reverse_pair_is_inverse(pair):
     feats = det.detect(imgs)
     matcher = FeatureMatcher("homography", match_conf=0.3)
     pm = matcher.match_features(feats)
-    H_fwd, H_bwd = pm[1].H, pm[3].H
+    # flat row-major 2x2 matrix: pm[1] = (0,1), pm[2] = (1,0); pm[0]/pm[3]
+    # are the diagonal entries
+    H_fwd, H_bwd = pm[1].H, pm[2].H
     prod = H_fwd @ H_bwd
     prod /= prod[2, 2]
     assert np.abs(prod - np.eye(3)).max() < 1e-3
-    assert pm[0].confidence == 0 and pm[3 + 1].confidence == 0  # diagonal
+    assert pm[0].confidence == 0 and pm[3].confidence == 0  # diagonal
