@@ -65,7 +65,7 @@ class FeatureMatcher:
         result = [MatchesInfo() for _ in range(n * n)]
         for i in range(n):
             for j in range(i + 1, n):
-                if self.range_width > 0 and abs(i - j) >= self.range_width:
+                if self.range_width > 0 and abs(i - j) > self.range_width:
                     continue
                 fwd, bwd = self._match_one(features[i], features[j], i, j, n)
                 result[i * n + j] = fwd

@@ -31,13 +31,25 @@ def test_confidence_matrix():
 
 
 def test_range_width_skips_far_pairs():
+    # Reference contract (tests/test_range_width_matcher.py:26-35): with
+    # range_width=1 the confidence matrix is tri-diagonal — adjacent pairs
+    # (|i-j| <= range_width) ARE matched, farther pairs are skipped.
     matcher = FeatureMatcher("homography", range_width=1)
-    # with range_width=1 no |i-j| >= 1 pairs are matched -> all zero conf
+    attempted = []
+
+    def fake_match_one(fa, fb, i, j, n):
+        attempted.append((i, j))
+        return MatchesInfo(confidence=1.0), MatchesInfo(confidence=1.0)
+
+    matcher._match_one = fake_match_one
 
     class _F:
         pass
 
-    # match_features only touches features when a pair qualifies
     out = matcher.match_features([_F(), _F(), _F()])
     assert len(out) == 9
-    assert all(m.confidence == 0 for m in out)
+    assert attempted == [(0, 1), (1, 2)]
+    conf = FeatureMatcher.get_confidence_matrix(out)
+    np.testing.assert_array_equal(
+        conf > 0,
+        [[False, True, False], [True, False, True], [False, True, False]])
