@@ -45,7 +45,8 @@ class FeatureMatcher:
             raise StitchingError("invalid matcher type: " + str(matcher_type))
         self.matcher_type = matcher_type
         self.range_width = range_width
-        self.match_conf = kwargs.get("match_conf") or 0.3
+        match_conf = kwargs.get("match_conf")
+        self.match_conf = 0.3 if match_conf is None else match_conf
         # try_use_gpu is accepted for API parity; compute always runs on the
         # JAX default backend (TPU when available).
         self.try_use_gpu = kwargs.get("try_use_gpu", False)
@@ -65,7 +66,10 @@ class FeatureMatcher:
         result = [MatchesInfo() for _ in range(n * n)]
         for i in range(n):
             for j in range(i + 1, n):
-                if self.range_width > 0 and abs(i - j) > self.range_width:
+                # -1 is the documented "no range limit" sentinel; any other
+                # value (including 0) restricts to |i-j| <= range_width,
+                # matching cv.detail_BestOf2NearestRangeMatcher semantics.
+                if self.range_width != -1 and abs(i - j) > self.range_width:
                     continue
                 fwd, bwd = self._match_one(features[i], features[j], i, j, n)
                 result[i * n + j] = fwd

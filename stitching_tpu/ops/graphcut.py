@@ -151,8 +151,21 @@ def grid_min_cut(cap_dir, s_cap, t_cap, *, max_iters=2000,
         height = jnp.where(lift, jnp.minimum(minnh + 1.0, hmax), height)
         return res, excess, height, t_res
 
+    # Run until no pixel holds pushable excess (all remaining excess is
+    # parked at height >= hmax, i.e. sink-disconnected — the standard
+    # preflow termination), bounded by max_iters as a safety net.
+    def cond_fn(carry):
+        i, (res, excess, height, t_res) = carry
+        active = jnp.any((excess > 0) & (height < hmax))
+        return jnp.logical_and(i < max_iters, active)
+
+    def body_fn(carry):
+        i, state = carry
+        return i + 1, body(i, state)
+
     state = (res, excess, height, t_res)
-    state = jax.lax.fori_loop(0, max_iters, body, state)
+    _, state = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), state))
     res, excess, height, t_res = state
 
     # Min cut: source side = pixels that cannot reach the sink in the

@@ -98,10 +98,12 @@ def ransac_homography(src, dst, valid, seed, *, n_iters=N_HYPOTHESES):
     Td, dst_n = _normalize_points(dst_c, valid_c)
 
     key = jax.random.PRNGKey(seed)
-    u = jax.random.uniform(key, (n_iters, 4))
-    idx = jnp.floor(u * jnp.maximum(nvalid, 1).astype(jnp.float32)).astype(
-        jnp.int32)
-    idx = jnp.clip(idx, 0, M - 1)                          # (K, 4)
+    # Duplicate-free minimal samples (OpenCV's sampler never repeats a
+    # point within one hypothesis): top-4 of per-hypothesis random noise
+    # restricted to the compacted valid prefix — distinct by construction.
+    noise = jax.random.uniform(key, (n_iters, M))
+    noise = jnp.where(jnp.arange(M)[None, :] < nvalid, noise, -1.0)
+    _, idx = jax.lax.top_k(noise, 4)                       # (K, 4) distinct
 
     H_n = _h_from_4pts(src_n[idx], dst_n[idx])             # (K, 3, 3)
     proj = _apply_h(H_n, src_n)                            # (K, M, 2)
@@ -196,9 +198,10 @@ def ransac_affine_partial(src, dst, valid, seed, *, n_iters=N_HYPOTHESES):
     src_c, dst_c, valid_c = src[order], dst[order], valid[order]
 
     key = jax.random.PRNGKey(seed)
-    u = jax.random.uniform(key, (n_iters, 2))
-    idx = jnp.floor(u * jnp.maximum(nvalid, 1).astype(jnp.float32)).astype(
-        jnp.int32)
+    # Duplicate-free 2-point samples (see homography sampler note above).
+    noise = jax.random.uniform(key, (n_iters, M))
+    noise = jnp.where(jnp.arange(M)[None, :] < nvalid, noise, -1.0)
+    _, idx = jax.lax.top_k(noise, 2)                       # (K, 2) distinct
     idx = jnp.clip(idx, 0, M - 1)
 
     A = _sim_from_2pts(src_c[idx], dst_c[idx])             # (K, 2, 3)

@@ -12,10 +12,9 @@ COLOR / COLOR_GRAD (reference bindings `stitching/seam_finder.py:14-26`):
   vectorized across the perpendicular axis; masks updated pair by pair like
   the native PairwiseSeamFinder.
 
-Graph-cut (gc_color / gc_colorgrad) currently routes to the DP seam — a
-true push-relabel min-cut kernel is planned (SURVEY.md §7 step 5 places it
-last among single-chip algorithms; dp/voronoi are the reference-sanctioned
-fallbacks).
+Graph-cut (gc_color / gc_colorgrad) runs the real parallel push-relabel grid
+min-cut in `ops/graphcut.py` (verified against an Edmonds–Karp oracle in
+tests/test_graphcut.py); `gc_pairwise_seams` below drives it pair by pair.
 """
 
 from functools import partial

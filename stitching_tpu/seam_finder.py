@@ -6,7 +6,8 @@ casts images to float32 (:33-35); `resize` dilates the seam mask, resizes to
 the final mask size and ANDs with the warp mask (:37-43); the viz helpers
 (`draw_seam_mask`, `blend_seam_masks`, `draw_seam_lines`/`extract_seam_lines`
 with neighbor-validity filtering, `draw_seam_polygons`). Seam math in
-`ops/seam.py` (gc currently routes to dp — see there).
+`ops/seam.py`; gc_color/gc_colorgrad run the real push-relabel min-cut in
+`ops/graphcut.py`.
 """
 
 import warnings

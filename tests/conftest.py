@@ -16,6 +16,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The env var alone is not honored when the axon TPU plugin is installed —
+# it still initializes the (slow, tunneled) TPU backend. The config update
+# below is authoritative; keep both.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
