@@ -7,6 +7,11 @@ frames, `match_features` returning a flat row-major N x N list of MatchesInfo
 populated), the confidence-matrix helpers, and the match_conf defaults
 (0.3 for ORB-binary, 0.65 otherwise, reference :86-90).
 
+TPU-first shape: the whole C(N,2) pair axis runs as ONE batched device
+program (`pipeline.match_stack` — vmapped 2-NN matmul + batched RANSAC over
+pairs) instead of a per-pair Python loop with per-pair dispatches; only the
+small per-pair summaries (H, confidence, match indices) come back to host.
+
 Behavior reproduced from the native cv.detail matchers (SURVEY.md §2b):
 - keypoint coords are CENTERED (origin at image center) before the model fit,
   so MatchesInfo.H acts on centered coordinates (verified against OpenCV);
@@ -14,18 +19,13 @@ Behavior reproduced from the native cv.detail matchers (SURVEY.md §2b):
   (near-duplicate rejection);
 - pairs with < 6 raw matches get confidence 0;
 - the reverse pair (j,i) carries H^-1 and the same confidence.
-
-The heavy lifting (2-NN MXU matmul + batched RANSAC) is in `ops/match.py` /
-`ops/ransac.py`.
 """
 
-import jax.numpy as jnp
 import numpy as np
 
 from .errors import StitchingError
-from .ops.match import match_pair
-from .ops.ransac import ransac_affine_partial, ransac_homography
-from .types import Features, MatchesInfo
+from .pipeline import match_stack
+from .types import MatchesInfo
 
 MIN_RAW_MATCHES = 6
 
@@ -62,82 +62,59 @@ class FeatureMatcher:
         return 0.65
 
     def match_features(self, features, **kwargs):
+        """All pairs in one batched device program -> flat N x N list."""
         n = len(features)
         result = [MatchesInfo() for _ in range(n * n)]
-        for i in range(n):
-            for j in range(i + 1, n):
-                # -1 is the documented "no range limit" sentinel; any other
-                # value (including 0) restricts to |i-j| <= range_width,
-                # matching cv.detail_BestOf2NearestRangeMatcher semantics.
-                if self.range_width != -1 and abs(i - j) > self.range_width:
-                    continue
-                fwd, bwd = self._match_one(features[i], features[j], i, j, n)
-                result[i * n + j] = fwd
-                result[j * n + i] = bwd
+
+        feats = dict(
+            desc=np.stack([np.asarray(f.desc) for f in features]),
+            valid=np.stack([np.asarray(f.valid) for f in features]),
+            xy=np.stack([np.asarray(f.xy) for f in features]),
+        )
+        img_sizes = np.asarray([f.img_size for f in features], np.float32)
+        pair_ij, res = match_stack(
+            feats, img_sizes,
+            matcher_type=self.matcher_type,
+            match_conf=float(self.match_conf),
+            range_width=self.range_width,
+            is_binary=features[0].is_binary,
+        )
+
+        for k in range(len(pair_ij)):
+            i, j = int(pair_ij[k, 0]), int(pair_ij[k, 1])
+            fwd, bwd = self._pair_infos(res, k, i, j)
+            result[i * n + j] = fwd
+            result[j * n + i] = bwd
         return result
 
-    def _match_one(self, fa: Features, fb: Features, i: int, j: int, n: int):
-        m = match_pair(fa.desc, fa.valid, fb.desc, fb.valid,
-                       float(self.match_conf), is_binary=fa.is_binary)
-        pairs = np.asarray(m["pairs"])
-        valid = np.asarray(m["valid"])
-        num_matches = int(valid.sum())
-
+    @staticmethod
+    def _pair_infos(res, k, i, j):
+        """Build the forward/backward MatchesInfo for pair slot k."""
+        pairs = res["pairs"][k]
+        mvalid = res["matches_valid"][k]
+        conf = float(res["confidence"][k])
         fwd = MatchesInfo(src_img_idx=i, dst_img_idx=j, matches=pairs,
-                          matches_valid=valid,
+                          matches_valid=mvalid,
                           inliers_mask=np.zeros(len(pairs), bool))
-        bwd = MatchesInfo(src_img_idx=j, dst_img_idx=i, matches=pairs[:, ::-1],
-                          matches_valid=valid,
+        bwd = MatchesInfo(src_img_idx=j, dst_img_idx=i,
+                          matches=pairs[:, ::-1], matches_valid=mvalid,
                           inliers_mask=np.zeros(len(pairs), bool))
-        if num_matches < MIN_RAW_MATCHES:
+        if conf <= 0.0 or not bool(res["ok"][k]):
             return fwd, bwd
 
-        # The homography matcher fits H on CENTERED coordinates; the affine
-        # matcher uses raw pixel coordinates (both verified against the
-        # cv.detail oracle — AffineBestOf2NearestMatcher does not center).
-        if self.matcher_type == "affine":
-            ca = np.zeros(2, np.float32)
-            cb = np.zeros(2, np.float32)
-        else:
-            ca = np.array([fa.img_size[0] * 0.5, fa.img_size[1] * 0.5],
-                          np.float32)
-            cb = np.array([fb.img_size[0] * 0.5, fb.img_size[1] * 0.5],
-                          np.float32)
-        src = np.asarray(fa.xy)[pairs[:, 0]] - ca
-        dst = np.asarray(fb.xy)[pairs[:, 1]] - cb
-
-        seed = i * n + j
-        if self.matcher_type == "affine":
-            r = ransac_affine_partial(jnp.asarray(src), jnp.asarray(dst),
-                                      jnp.asarray(valid), seed)
-        else:
-            r = ransac_homography(jnp.asarray(src), jnp.asarray(dst),
-                                  jnp.asarray(valid), seed)
-        if not bool(r["ok"]):
-            return fwd, bwd
-
-        H = np.asarray(r["H"], np.float64)
-        inliers = np.asarray(r["inliers"])
-        num_inliers = int(r["num_inliers"])
-        conf = num_inliers / (8 + 0.3 * num_matches)
-        # Near-duplicate images (too-high confidence) are rejected.
-        conf = 0.0 if conf > 3.0 else conf
-
+        H = np.asarray(res["H"][k], np.float64)
         fwd.H = H
-        fwd.inliers_mask = inliers
-        fwd.num_inliers = num_inliers
+        fwd.inliers_mask = res["inliers"][k]
+        fwd.num_inliers = int(res["num_inliers"][k])
         fwd.confidence = conf
-
         try:
             H_inv = np.linalg.inv(H)
             H_inv /= H_inv[2, 2]
         except np.linalg.LinAlgError:
-            H_inv = None
-            bwd.confidence = 0.0
             return fwd, bwd
         bwd.H = H_inv
-        bwd.inliers_mask = inliers
-        bwd.num_inliers = num_inliers
+        bwd.inliers_mask = fwd.inliers_mask
+        bwd.num_inliers = fwd.num_inliers
         bwd.confidence = conf
         return fwd, bwd
 

@@ -105,19 +105,39 @@ def ransac_homography(src, dst, valid, seed, *, n_iters=N_HYPOTHESES):
     noise = jnp.where(jnp.arange(M)[None, :] < nvalid, noise, -1.0)
     _, idx = jax.lax.top_k(noise, 4)                       # (K, 4) distinct
 
+    # Degenerate-sample rejection (OpenCV checkSubset analog): distinct
+    # match ROWS can still carry coincident POINTS (several matches sharing
+    # one keypoint); a hypothesis built on coincident src or dst points
+    # collapses (e.g. maps everything onto one point) and its chance
+    # "consensus" would win. Require all 6 point pairs separated on both
+    # sides (threshold in normalized units ~= 1 px).
+    scale_s = Ts[0, 0]
+    scale_d = Td[0, 0]
+
+    def _spread(pts, min_d):
+        d = pts[:, :, None, :] - pts[:, None, :, :]        # (K, 4, 4, 2)
+        d2 = (d * d).sum(-1)
+        k = pts.shape[1]
+        off_diag = ~jnp.eye(k, dtype=bool)
+        return jnp.all(jnp.where(off_diag, d2, jnp.inf) > min_d ** 2,
+                       axis=(1, 2))
+
+    hyp_ok = (_spread(src_n[idx], scale_s) & _spread(dst_n[idx], scale_d))
+
     H_n = _h_from_4pts(src_n[idx], dst_n[idx])             # (K, 3, 3)
     proj = _apply_h(H_n, src_n)                            # (K, M, 2)
     # Threshold in original pixel units: dst_n = scale_d * (dst - mean_d)
-    scale_d = Td[0, 0]
     err2 = ((proj - dst_n[None]) ** 2).sum(-1)
     th2 = (RANSAC_THRESH * scale_d) ** 2
-    inl = (err2 < th2) & valid_c[None]                     # (K, M)
+    inl = (err2 < th2) & valid_c[None] & hyp_ok[:, None]   # (K, M)
     counts = inl.sum(-1)
     # Tie-break equal counts by total inlier error.
     score = counts.astype(jnp.float32) - jnp.where(
         inl, err2, 0.0).sum(-1) * 1e-8
+    score = jnp.where(hyp_ok, score, -jnp.inf)
     best = jnp.argmax(score)
     inliers_c = inl[best]
+    any_hyp = jnp.any(hyp_ok)
 
     # Refine on inliers (2 reweighted passes).
     H_ref = H_n[best]
@@ -135,7 +155,7 @@ def ransac_homography(src, dst, valid, seed, *, n_iters=N_HYPOTHESES):
     # Scatter inlier mask back to the original point order.
     inliers = jnp.zeros((M,), bool).at[order].set(inliers_c)
     num = inliers.sum().astype(jnp.int32)
-    ok = (nvalid >= 4) & (num >= 4)
+    ok = (nvalid >= 4) & (num >= 4) & any_hyp
     return dict(H=H, inliers=inliers, num_inliers=num, ok=ok)
 
 
@@ -204,16 +224,29 @@ def ransac_affine_partial(src, dst, valid, seed, *, n_iters=N_HYPOTHESES):
     _, idx = jax.lax.top_k(noise, 2)                       # (K, 2) distinct
     idx = jnp.clip(idx, 0, M - 1)
 
-    A = _sim_from_2pts(src_c[idx], dst_c[idx])             # (K, 2, 3)
+    # Degenerate-sample rejection (OpenCV checkSubset analog): distinct
+    # rows may carry coincident points (many matches can share a keypoint);
+    # a 2-point hypothesis whose dst points coincide collapses to scale ~0
+    # and maps everything onto one point — its chance "consensus" of all
+    # rows sharing that keypoint must not win. Require > 1 px separation
+    # on both sides.
+    s2 = src_c[idx]
+    d2 = dst_c[idx]
+    hyp_ok = ((((s2[:, 0] - s2[:, 1]) ** 2).sum(-1) > 1.0)
+              & (((d2[:, 0] - d2[:, 1]) ** 2).sum(-1) > 1.0))
+
+    A = _sim_from_2pts(s2, d2)                             # (K, 2, 3)
     proj = _apply_affine(A, src_c)                         # (K, M, 2)
     err2 = ((proj - dst_c[None]) ** 2).sum(-1)
     th2 = RANSAC_THRESH ** 2
-    inl = (err2 < th2) & valid_c[None]
+    inl = (err2 < th2) & valid_c[None] & hyp_ok[:, None]
     counts = inl.sum(-1)
     score = counts.astype(jnp.float32) - jnp.where(
         inl, err2, 0.0).sum(-1) * 1e-8
+    score = jnp.where(hyp_ok, score, -jnp.inf)
     best = jnp.argmax(score)
     inliers_c = inl[best]
+    any_hyp = jnp.any(hyp_ok)
 
     A_ref = A[best]
     for _ in range(2):
@@ -222,7 +255,10 @@ def ransac_affine_partial(src, dst, valid, seed, *, n_iters=N_HYPOTHESES):
         inliers_c = (err2_1 < th2) & valid_c
 
     H = jnp.concatenate([A_ref, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    # Reject collapsed refined models too (the weighted LSQ can shrink the
+    # scale toward 0 if the inlier set is itself near-degenerate).
+    sc2 = A_ref[0, 0] ** 2 + A_ref[1, 0] ** 2
     inliers = jnp.zeros((M,), bool).at[order].set(inliers_c)
     num = inliers.sum().astype(jnp.int32)
-    ok = (nvalid >= 2) & (num >= 2)
+    ok = (nvalid >= 2) & (num >= 2) & any_hyp & (sc2 > 1e-6)
     return dict(H=H, inliers=inliers, num_inliers=num, ok=ok)

@@ -1,0 +1,298 @@
+"""Batched, device-resident stitching engine.
+
+This module is the TPU-first core the round-1 review asked for: instead of
+the reference's per-image lazy generators with a host round-trip between
+every stage (`stitching/stitcher.py:216-254` — one image at a time through
+resize -> warp -> compensate -> feed), every pipeline stage here operates on
+a *stacked batch* living in device memory:
+
+- all images upload ONCE as a padded (B, H, W, C) stack;
+- per-resolution resizes are one vmapped kernel over the stack;
+- detection is one vmapped kernel (B dispatches -> 1);
+- matching + RANSAC runs the whole C(B,2) pair axis in one kernel
+  (the O(N^2) wall-clock bottleneck becomes one batched program);
+- warping produces all tiles + masks in one vmapped kernel;
+- compositing feeds the blender by scanning over the stacked tiles.
+
+Static-shape discipline: stacks pad to bucket multiples (one compile per
+bucket, reused across runs); true per-image sizes ride along as host
+metadata and as traced scalars where kernels need them. The same jitted
+programs run single-chip or SPMD: pass a `jax.sharding.Mesh` and the batch /
+pair axes are sharded across it (see `parallel/`).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BUCKET = 64
+
+
+def _round_up(x, m=_BUCKET):
+    return int(-(-x // m) * m)
+
+
+def _shard_batch(arr, mesh, axis_name="i"):
+    """Place `arr` with its leading axis sharded over `mesh` (no-op if
+    mesh is None)."""
+    if mesh is None:
+        return arr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(
+        arr, NamedSharding(mesh, P(axis_name, *([None] * (arr.ndim - 1)))))
+
+
+def pad_batch(n, mesh):
+    """Smallest padded batch length: multiple of the mesh size (>= n)."""
+    if mesh is None:
+        return n
+    d = int(mesh.devices.size)
+    return -(-n // d) * d
+
+
+# ---------------------------------------------------------------------------
+# Image stacks
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DeviceStack:
+    """A batch of images padded to one static shape, resident on device.
+
+    data: (B, H, W, C) float32; per-image true content occupies
+    [0:h_i, 0:w_i] (bottom/right padding is edge-replication).
+    sizes: host (B, 2) int array of true (w, h).
+    """
+
+    data: jax.Array
+    sizes: np.ndarray
+
+    @property
+    def batch(self):
+        return self.data.shape[0]
+
+    def image(self, i):
+        """Host copy of image i, cropped to its true size (float32)."""
+        w, h = self.sizes[i]
+        return np.asarray(self.data[i, :h, :w])
+
+
+def stack_images(imgs, mesh=None):
+    """Upload a list of HxW[xC] uint8/float images as one padded stack."""
+    arrs = [np.asarray(im) for im in imgs]
+    chans = 3 if any(a.ndim == 3 for a in arrs) else 1
+    hp = _round_up(max(a.shape[0] for a in arrs))
+    wp = _round_up(max(a.shape[1] for a in arrs))
+    b = pad_batch(len(arrs), mesh)
+    out = np.zeros((b, hp, wp, chans), np.float32)
+    sizes = np.ones((b, 2), np.int32)
+    for i, a in enumerate(arrs):
+        if a.ndim == 2:
+            a = a[..., None]
+        if a.shape[2] == 1 and chans == 3:
+            a = np.repeat(a, 3, axis=2)
+        h, w = a.shape[:2]
+        out[i, :h, :w] = a
+        # edge-replicate so downstream bilinear taps never mix in zeros
+        out[i, h:, :w] = out[i, h - 1: h, :w]
+        out[i, :, w:] = out[i, :, w - 1: w]
+        sizes[i] = (w, h)
+    return DeviceStack(_shard_batch(jnp.asarray(out), mesh), sizes)
+
+
+@partial(jax.jit, static_argnames=("oh", "ow"))
+def _resize_kernel(data, in_sizes, out_sizes, *, oh, ow):
+    """Batched per-image bilinear resize with half-pixel centers.
+
+    data: (B, H, W, C); in_sizes/out_sizes: (B, 2) float32 (w, h). Each
+    image resizes by its own factor; output content occupies
+    [0:out_h_i, 0:out_w_i] with clamp-replicated padding beyond.
+    """
+    H, W = data.shape[1], data.shape[2]
+
+    def one(img, isz, osz):
+        sx = isz[0] / osz[0]
+        sy = isz[1] / osz[1]
+        xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5
+        ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5
+        xs = jnp.clip(xs, 0.0, isz[0] - 1.0)
+        ys = jnp.clip(ys, 0.0, isz[1] - 1.0)
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        fx = (xs - x0)[None, :, None]
+        fy = (ys - y0)[:, None, None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+        x1i = jnp.clip(x0i + 1, 0, W - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        y1i = jnp.clip(y0i + 1, 0, H - 1)
+        r0 = img[y0i][:, x0i] * (1 - fx) + img[y0i][:, x1i] * fx
+        r1 = img[y1i][:, x0i] * (1 - fx) + img[y1i][:, x1i] * fx
+        return r0 * (1 - fy) + r1 * fy
+
+    return jax.vmap(one)(data, in_sizes.astype(jnp.float32),
+                         out_sizes.astype(jnp.float32))
+
+
+def resize_stack(stack: DeviceStack, out_sizes) -> DeviceStack:
+    """Resize every image in the stack to its own (w, h) in `out_sizes`."""
+    out_sizes = np.asarray(out_sizes, np.int32)
+    if np.array_equal(out_sizes, stack.sizes):
+        return stack
+    oh = _round_up(int(out_sizes[:, 1].max()))
+    ow = _round_up(int(out_sizes[:, 0].max()))
+    data = _resize_kernel(stack.data, jnp.asarray(stack.sizes),
+                          jnp.asarray(out_sizes), oh=oh, ow=ow)
+    return DeviceStack(data, out_sizes)
+
+
+# ---------------------------------------------------------------------------
+# Batched detection
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nfeatures", "variant"))
+def _detect_kernel(gray, region_masks, *, nfeatures, variant):
+    from .ops.orb import detect_orb
+    from .ops.sift import detect_sift
+
+    def one(g, m):
+        if variant == "sift":
+            return detect_sift(g, m, nfeatures=nfeatures, with_mask=True)
+        return detect_orb(g, m, nfeatures=nfeatures, with_mask=True,
+                          variant=variant)
+
+    return jax.vmap(one)(gray, region_masks)
+
+
+def detect_stack(stack: DeviceStack, *, nfeatures, variant,
+                 feature_masks=None):
+    """One batched dispatch detecting keypoints on every image.
+
+    Returns a dict of stacked arrays: xy (B,N,2), response (B,N),
+    size (B,N), angle_deg (B,N), desc (B,N,D), valid (B,N).
+    """
+    from .ops.color import bgr_to_gray
+
+    data = stack.data
+    gray = bgr_to_gray(data) if data.shape[-1] == 3 else data[..., 0]
+    h, w = data.shape[1], data.shape[2]
+    cols = jnp.arange(w)[None, None, :]
+    rows = jnp.arange(h)[None, :, None]
+    sizes = jnp.asarray(stack.sizes)
+    region = ((cols < sizes[:, 0][:, None, None])
+              & (rows < sizes[:, 1][:, None, None]))
+    if feature_masks is not None:
+        fm = np.zeros((stack.batch, h, w), bool)
+        for i, m in enumerate(feature_masks):
+            if m is None:
+                fm[i] = True
+            else:
+                mh, mw = m.shape[:2]
+                fm[i, :mh, :mw] = np.asarray(m) > 0
+        region = region & jnp.asarray(fm)
+    return _detect_kernel(gray, region, nfeatures=nfeatures, variant=variant)
+
+
+# ---------------------------------------------------------------------------
+# Batched pair matching + RANSAC
+# ---------------------------------------------------------------------------
+
+def make_pairs(n, range_width=-1):
+    """Host pair list (i < j), optionally banded by |i-j| <= range_width."""
+    out = [(i, j) for i in range(n) for j in range(i + 1, n)
+           if range_width == -1 or j - i <= range_width]
+    return np.asarray(out, np.int32).reshape(-1, 2)
+
+
+@partial(jax.jit, static_argnames=("is_binary", "model"))
+def _match_kernel(desc, valid, xy, centers, pair_ij, seeds, match_conf, *,
+                  is_binary, model):
+    """All pairs in one batched program.
+
+    desc: (B, N, D); valid: (B, N); xy: (B, N, 2); centers: (B, 2);
+    pair_ij: (P, 2) int32; seeds: (P,) uint32. The 2-NN here always uses
+    the XLA matmul path: batched (P, N, N) distance tiles keep the MXU fed
+    better than per-pair kernels.
+    """
+    from .ops.match import _two_nn_xla
+    from .ops.ransac import ransac_affine_partial, ransac_homography
+
+    def match_one(pair, seed):
+        i, j = pair[0], pair[1]
+        da, va, db, vb = desc[i], valid[i], desc[j], valid[j]
+        na = da.shape[0]
+        nb = db.shape[0]
+        real = jnp.float32(1e29)
+        d0f, d1f, fwd_j = _two_nn_xla(da, va, db, vb, is_binary)
+        d0b, d1b, bwd_i = _two_nn_xla(db, vb, da, va, is_binary)
+        fwd_ok = (d0f < (1.0 - match_conf) * d1f) & (d0f < real) & va
+        bwd_ok = (d0b < (1.0 - match_conf) * d1b) & (d0b < real) & vb
+        ia = jnp.arange(na, dtype=jnp.int32)
+        ib = jnp.arange(nb, dtype=jnp.int32)
+        dup = fwd_ok[bwd_i] & (fwd_j[bwd_i] == ib)
+        pairs = jnp.concatenate([
+            jnp.stack([ia, fwd_j.astype(jnp.int32)], 1),
+            jnp.stack([bwd_i.astype(jnp.int32), ib], 1)], 0)
+        mvalid = jnp.concatenate([fwd_ok, bwd_ok & ~dup], 0)
+
+        src = xy[i][pairs[:, 0]] - centers[i]
+        dst = xy[j][pairs[:, 1]] - centers[j]
+        if model == "affine":
+            r = ransac_affine_partial(src, dst, mvalid, seed)
+        else:
+            r = ransac_homography(src, dst, mvalid, seed)
+        nm = mvalid.sum()
+        ni = jnp.where(r["ok"], r["num_inliers"], 0)
+        conf = ni.astype(jnp.float32) / (8.0 + 0.3 * nm.astype(jnp.float32))
+        conf = jnp.where((conf > 3.0) | (nm < 6) | ~r["ok"], 0.0, conf)
+        return dict(pairs=pairs, matches_valid=mvalid, H=r["H"],
+                    inliers=r["inliers"] & (conf > 0),
+                    num_inliers=jnp.where(conf > 0, ni, 0),
+                    num_matches=nm, confidence=conf, ok=r["ok"] & (conf > 0))
+
+    return jax.vmap(match_one)(pair_ij, seeds)
+
+
+def match_stack(feats, img_sizes, *, matcher_type="homography",
+                match_conf=0.3, range_width=-1, is_binary=True, mesh=None,
+                n_images=None):
+    """Match every image pair in one dispatch; results pulled to host.
+
+    feats: stacked detection dict from `detect_stack`. img_sizes: (B, 2)
+    true (w, h) — the homography model centers coordinates on the image
+    center (cv.detail convention); the affine model uses raw pixels.
+
+    Returns (pair_list, results) where results is a dict of numpy arrays
+    with leading pair axis.
+    """
+    n = n_images if n_images is not None else feats["desc"].shape[0]
+    pair_ij = make_pairs(n, range_width)
+    if len(pair_ij) == 0:
+        return pair_ij, None
+    seeds = (pair_ij[:, 0].astype(np.uint32) * np.uint32(n)
+             + pair_ij[:, 1].astype(np.uint32))
+    if matcher_type == "affine":
+        centers = np.zeros((feats["desc"].shape[0], 2), np.float32)
+    else:
+        centers = np.asarray(img_sizes, np.float32) * 0.5
+        centers = np.concatenate(
+            [centers, np.zeros((feats["desc"].shape[0] - len(centers), 2),
+                               np.float32)], 0) \
+            if len(centers) < feats["desc"].shape[0] else centers
+    p = pad_batch(len(pair_ij), mesh)
+    pair_pad = np.zeros((p, 2), np.int32)
+    pair_pad[:len(pair_ij)] = pair_ij
+    seed_pad = np.zeros((p,), np.uint32)
+    seed_pad[:len(pair_ij)] = seeds
+    out = _match_kernel(
+        feats["desc"], feats["valid"], feats["xy"], jnp.asarray(centers),
+        _shard_batch(jnp.asarray(pair_pad), mesh),
+        _shard_batch(jnp.asarray(seed_pad), mesh),
+        jnp.float32(match_conf),
+        is_binary=is_binary,
+        model="affine" if matcher_type == "affine" else "homography")
+    host = jax.device_get(out)
+    host = {k: np.asarray(v)[:len(pair_ij)] for k, v in host.items()}
+    return pair_ij, host
