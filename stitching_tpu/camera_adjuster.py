@@ -14,7 +14,7 @@ import numpy as np
 
 from .errors import StitchingError
 from .feature_matcher import FeatureMatcher
-from .ops.bundle import lm_solve, make_residual_fn
+from .ops.bundle import solve_bundle
 from .ops.rotation import matrix_to_rodrigues, rodrigues_to_matrix
 from .types import CameraParams
 
@@ -74,7 +74,9 @@ class CameraAdjuster:
         if not edges:
             return None
 
-        E = len(edges)
+        # bucket the edge axis (padded edges carry w=0 and contribute
+        # nothing) so the jitted LM engine compiles once per bucket
+        E = -(-len(edges) // 4) * 4
         pts_src = np.zeros((E, _MATCH_CAP, 2), np.float32)
         pts_dst = np.zeros((E, _MATCH_CAP, 2), np.float32)
         w = np.zeros((E, _MATCH_CAP), np.float32)
@@ -125,15 +127,10 @@ class CameraAdjuster:
                 im["focal"], im["ppx"], im["ppy"], im["aspect"],
                 True, True, True,
             ])
-        x0 = params0[:, param_mask].reshape(-1)
-        residual_fn = make_residual_fn(
-            problem, self.adjuster, param_mask, params0)
-        x, cost = lm_solve(residual_fn, x0)
-        if not np.all(np.isfinite(x)):
+        full, _ = solve_bundle(problem, self.adjuster, param_mask, params0)
+        if not np.all(np.isfinite(full)):
             return None
 
-        full = params0.copy()
-        full[:, param_mask] = x.reshape(n, -1)
         out = []
         for i, c in enumerate(cameras):
             R = np.asarray(
@@ -155,16 +152,13 @@ class CameraAdjuster:
             params0[i] = [A[0, 0], A[1, 0], A[0, 2], A[1, 2]]
 
         param_mask = np.array([True] * 4)
-        x0 = params0.reshape(-1)
-        residual_fn = make_residual_fn(
-            problem, "affine", param_mask, params0)
-        x, cost = lm_solve(residual_fn, x0)
-        if not np.all(np.isfinite(x)):
+        full, _ = solve_bundle(problem, "affine", param_mask, params0)
+        if not np.all(np.isfinite(full)):
             return None
 
         out = []
         for i, c in enumerate(cameras):
-            a, b, tx, ty = x.reshape(n, 4)[i]
+            a, b, tx, ty = full[i]
             R = np.array([[a, -b, tx], [b, a, ty], [0, 0, 1]], np.float32)
             out.append(CameraParams(
                 focal=c.focal, aspect=c.aspect, ppx=c.ppx, ppy=c.ppy, R=R))

@@ -1,0 +1,601 @@
+"""Batched, device-resident compositing engine.
+
+The FINAL-resolution analog of `pipeline.py`'s batched registration: where
+the reference composites one image at a time with a host round-trip between
+every stage (`stitching/stitcher.py:216-254` — resize -> warp -> crop ->
+compensate -> feed, each per image), every stage here is ONE dispatch over a
+stacked tile batch that never leaves device memory:
+
+- `warp_stack`: all images warp onto the surface in one vmapped kernel
+  (backward map + bilinear gather, `cv.PyRotationWarper.warp` analog for the
+  whole batch); validity masks come from the same inverse map, so the
+  separate all-255 mask warp (reference warper.py:58-68) costs nothing;
+- `slice_stack`: per-image crop rectangles via vmapped dynamic slices;
+- `apply_gains_stack`: exposure compensation as a batched multiply (scalar /
+  per-channel gains) or a batched bilinear gain-map upsample (blocks);
+- `resize_seam_masks_stack`: dilate + resize + mask-AND for all seam masks
+  in one kernel (`SeamFinder.resize` analog, reference seam_finder.py:37-43);
+- `blend_stack`: one jitted scan over the tile batch feeding the multiband /
+  feather / paste accumulators, then one collapse. The panorama leaves the
+  device exactly once, as uint8.
+
+Static-shape discipline: tiles share one bucketed (B, TH, TW, C) shape; true
+per-image corners/sizes ride along as host metadata and traced scalars.
+Shapes bucket to multiples of 128 so a panorama costs a handful of
+compilations, amortized across runs by the persistent compilation cache.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.warp import PROJECTORS, warp_roi
+
+_BUCKET = 128
+
+
+def _round_up(x, m=_BUCKET):
+    return int(-(-x // m) * m)
+
+
+@dataclasses.dataclass(frozen=True)
+class TileStack:
+    """A batch of warped tiles resident on device.
+
+    data: (B, TH, TW, C) float32 — tile i's true content is [0:h_i, 0:w_i].
+    masks: (B, TH, TW) float32 in {0, 255} — warp validity.
+    corners: host (B, 2) int (x, y) in surface/panorama coords.
+    sizes: host (B, 2) int (w, h) true tile sizes.
+    """
+
+    data: jax.Array
+    masks: jax.Array
+    corners: np.ndarray
+    sizes: np.ndarray
+
+    @property
+    def batch(self):
+        return int(self.data.shape[0])
+
+    def tile(self, i):
+        """Host copy of tile i cropped to its true size."""
+        w, h = self.sizes[i]
+        return np.asarray(self.data[i, :h, :w])
+
+    def mask(self, i):
+        w, h = self.sizes[i]
+        return np.asarray(self.masks[i, :h, :w]).astype(np.uint8)
+
+    def to_host(self):
+        """One transfer: lists of per-image (img, mask) numpy views."""
+        data = np.asarray(self.data)
+        masks = np.asarray(self.masks)
+        imgs = [data[i, :h, :w] for i, (w, h) in enumerate(self.sizes)]
+        ms = [masks[i, :h, :w].astype(np.uint8)
+              for i, (w, h) in enumerate(self.sizes)]
+        return imgs, ms
+
+
+# ---------------------------------------------------------------------------
+# Batched warp
+# ---------------------------------------------------------------------------
+
+def plan_warp_rois(sizes, Ks, Rs, scale, warper_type):
+    """Host-side dst ROIs for every image: (corners (B,2), sizes (B,2))."""
+    corners, out_sizes = [], []
+    for size, K, R in zip(sizes, Ks, Rs):
+        tl, wh = warp_roi(size, K, R, scale, warper_type)
+        corners.append(tl)
+        out_sizes.append(wh)
+    return np.asarray(corners, np.int64), np.asarray(out_sizes, np.int64)
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "warper_type"))
+def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
+                       *, th, tw, warper_type):
+    """Warp every image of the padded stack onto the surface.
+
+    data: (B, H, W, C); src_sizes/dst_sizes: (B, 2) int32 (w, h);
+    k_rinv: (B, 3, 3) f32; tls: (B, 2) f32 dst top-left. Returns
+    tiles (B, th, tw, C) f32 and masks (B, th, tw) f32 {0, 255}.
+
+    The image samples bilinear with BORDER_REFLECT over the true source
+    extent; the mask is the nearest-neighbor in-bounds indicator through the
+    same backward map — exactly the reference's all-255-mask warp with
+    INTER_NEAREST + BORDER_CONSTANT (stitching/warper.py:58-68).
+    """
+    H, W = data.shape[1], data.shape[2]
+
+    def one(img, ssz, kri, tl, dsz):
+        w = ssz[0].astype(jnp.float32)
+        h = ssz[1].astype(jnp.float32)
+        cols = jnp.arange(tw, dtype=jnp.float32)[None, :]
+        rows = jnp.arange(th, dtype=jnp.float32)[:, None]
+        u = (tl[0] + cols) * inv_scale + jnp.zeros((th, 1), jnp.float32)
+        v = (tl[1] + rows) * inv_scale + jnp.zeros((1, tw), jnp.float32)
+        if warper_type == "affine":
+            x, y, z = u, v, jnp.ones_like(u)
+        else:
+            _, bwd = PROJECTORS[warper_type]
+            x, y, z = bwd(u, v)
+        q0 = kri[0, 0] * x + kri[0, 1] * y + kri[0, 2] * z
+        q1 = kri[1, 0] * x + kri[1, 1] * y + kri[1, 2] * z
+        q2 = kri[2, 0] * x + kri[2, 1] * y + kri[2, 2] * z
+        valid = q2 > 0
+        q2s = jnp.where(jnp.abs(q2) < 1e-12, 1e-12, q2)
+        sx = q0 / q2s
+        sy = q1 / q2s
+
+        def reflect(i, n):
+            period = 2.0 * n
+            i = jnp.mod(i, period)
+            i = jnp.where(i < 0, i + period, i)
+            return jnp.where(i >= n, period - 1.0 - i, i)
+
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        xa = reflect(x0, w).astype(jnp.int32)
+        xb = reflect(x0 + 1, w).astype(jnp.int32)
+        ya = reflect(y0, h).astype(jnp.int32)
+        yb = reflect(y0 + 1, h).astype(jnp.int32)
+        xa = jnp.clip(xa, 0, W - 1)
+        xb = jnp.clip(xb, 0, W - 1)
+        ya = jnp.clip(ya, 0, H - 1)
+        yb = jnp.clip(yb, 0, H - 1)
+        p00 = img[ya, xa]
+        p01 = img[ya, xb]
+        p10 = img[yb, xa]
+        p11 = img[yb, xb]
+        top = p00 * (1 - fx) + p01 * fx
+        bot = p10 * (1 - fx) + p11 * fx
+        out = top * (1 - fy) + bot * fy
+        out = jnp.where(valid[..., None], out, 0.0)
+
+        xi = jnp.round(sx)
+        yi = jnp.round(sy)
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1) & valid
+        inroi = ((cols < dsz[0].astype(jnp.float32))
+                 & (rows < dsz[1].astype(jnp.float32)))
+        mask = jnp.where(inb & inroi, jnp.float32(255), jnp.float32(0))
+        out = jnp.where(inroi[..., None], out, 0.0)
+        return out, mask
+
+    return jax.vmap(one)(data, src_sizes, k_rinv,
+                         tls.astype(jnp.float32), dst_sizes)
+
+
+def warp_stack(data, src_sizes, Ks, Rs, scale, warper_type) -> TileStack:
+    """One dispatch warping the whole padded image stack.
+
+    data: (B, H, W, C) device array; src_sizes: (B, 2) host int (w, h);
+    Ks/Rs: per-image 3x3. Returns a TileStack with true per-image ROIs.
+    """
+    b = data.shape[0]
+    n = len(Ks)
+    corners, dsizes = plan_warp_rois(
+        [tuple(s) for s in src_sizes[:n]], Ks, Rs, scale, warper_type)
+    th = _round_up(int(dsizes[:, 1].max()))
+    tw = _round_up(int(dsizes[:, 0].max()))
+    k_rinv = np.zeros((b, 3, 3), np.float32)
+    for i in range(n):
+        K64 = np.asarray(Ks[i], np.float64)
+        R64 = np.asarray(Rs[i], np.float64)
+        k_rinv[i] = (K64 @ R64 if warper_type == "affine"
+                     else K64 @ np.linalg.inv(R64))
+    tls = np.zeros((b, 2), np.float32)
+    tls[:n] = corners
+    dsz = np.ones((b, 2), np.int32)
+    dsz[:n] = dsizes
+    ssz = np.asarray(src_sizes, np.int32)
+    tiles, masks = _warp_stack_kernel(
+        data, jnp.asarray(ssz), jnp.asarray(k_rinv), jnp.asarray(tls),
+        jnp.asarray(dsz), jnp.float32(1.0 / scale),
+        th=th, tw=tw, warper_type=warper_type)
+    return TileStack(tiles, masks, np.asarray(corners[:n]),
+                     np.asarray(dsizes[:n]))
+
+
+# ---------------------------------------------------------------------------
+# Batched crop
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ch", "cw"))
+def _slice_stack_kernel(tiles, masks, rect_xy, *, ch, cw):
+    def one(t, m, xy):
+        ts = jax.lax.dynamic_slice(
+            t, (xy[1], xy[0], 0), (ch, cw, t.shape[-1]))
+        ms = jax.lax.dynamic_slice(m, (xy[1], xy[0]), (ch, cw))
+        return ts, ms
+
+    return jax.vmap(one)(tiles, masks, rect_xy)
+
+
+def slice_stack(stack: TileStack, rects) -> TileStack:
+    """Crop each tile to its (x, y, w, h) rect; corners/sizes updated by the
+    caller (crop ROI math lives in the cropper)."""
+    rects = [tuple(r) for r in rects]
+    n = len(rects)
+    b = stack.data.shape[0]
+    ch = _round_up(max(r[3] for r in rects))
+    cw = _round_up(max(r[2] for r in rects))
+    ch = min(ch, int(stack.data.shape[1]))
+    cw = min(cw, int(stack.data.shape[2]))
+    xy = np.zeros((b, 2), np.int32)
+    for i, r in enumerate(rects):
+        # clamp so the static-size slice stays in bounds (content beyond the
+        # true rect is ignored via sizes metadata)
+        xy[i, 0] = min(r[0], stack.data.shape[2] - cw)
+        xy[i, 1] = min(r[1], stack.data.shape[1] - ch)
+    tiles, masks = _slice_stack_kernel(
+        stack.data, stack.masks, jnp.asarray(xy), ch=ch, cw=cw)
+    sizes = np.asarray([(r[2], r[3]) for r in rects], np.int64)
+    return TileStack(tiles, masks, np.asarray(stack.corners), sizes)
+
+
+# ---------------------------------------------------------------------------
+# Batched exposure application
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _gain_mul_kernel(tiles, gains):
+    out = tiles * gains[:, None, None, :]
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+@jax.jit
+def _gain_map_kernel(tiles, gmaps, cell0, inv_bs):
+    """tiles: (B, TH, TW, C); gmaps: (B, GY, GX, Cg) padded cell gain maps;
+    cell0: (B, 2) f32 — the canvas-cell coordinate of each tile's (0, 0)
+    pixel at APPLY resolution (fractional); inv_bs: f32 cells per pixel.
+    Bilinear-samples each image's gain map at every pixel (the blocks
+    compensator's gain-map upsample) and multiplies.
+    """
+    B, TH, TW = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+    GY, GX = gmaps.shape[1], gmaps.shape[2]
+
+    def one(t, g, c0):
+        cols = jnp.arange(TW, dtype=jnp.float32)[None, :]
+        rows = jnp.arange(TH, dtype=jnp.float32)[:, None]
+        # cell-center convention: pixel p sits at cell coord (p+0.5)/bs - 0.5
+        gx = c0[0] + (cols + 0.5) * inv_bs - 0.5 + jnp.zeros((TH, 1))
+        gy = c0[1] + (rows + 0.5) * inv_bs - 0.5 + jnp.zeros((1, TW))
+        gx = jnp.clip(gx, 0.0, GX - 1.0)
+        gy = jnp.clip(gy, 0.0, GY - 1.0)
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        fx = (gx - x0)[..., None]
+        fy = (gy - y0)[..., None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, GX - 1)
+        x1i = jnp.clip(x0i + 1, 0, GX - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, GY - 1)
+        y1i = jnp.clip(y0i + 1, 0, GY - 1)
+        r0 = g[y0i, x0i] * (1 - fx) + g[y0i, x1i] * fx
+        r1 = g[y1i, x0i] * (1 - fx) + g[y1i, x1i] * fx
+        gain = r0 * (1 - fy) + r1 * fy
+        return jnp.clip(jnp.round(t * gain), 0.0, 255.0)
+
+    return jax.vmap(one)(tiles, gmaps, cell0)
+
+
+def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
+    """Apply the fed compensator to the whole tile stack on device."""
+    mode = compensator.compensator
+    if mode == "no":
+        return stack
+    n = len(stack.sizes)
+    b = stack.data.shape[0]
+    if mode in ("gain", "channel"):
+        g = np.ones((b, stack.data.shape[-1]), np.float32)
+        for i in range(n):
+            gi = compensator._gains[i]
+            g[i] = gi if len(gi) == stack.data.shape[-1] else gi[0]
+        tiles = _gain_mul_kernel(stack.data, jnp.asarray(g))
+        return TileStack(tiles, stack.masks, stack.corners, stack.sizes)
+
+    # blocks variants
+    origin, bs, smoothed = compensator._block_state
+    subs, cell0 = [], np.zeros((b, 2), np.float32)
+    for i in range(n):
+        gmap = smoothed[i]
+        fw, fh = compensator._feed_sizes[i]
+        gx0 = compensator._feed_corners[i][0] - origin[0]
+        gy0 = compensator._feed_corners[i][1] - origin[1]
+        cy0, cx0 = gy0 // bs, gx0 // bs
+        ncy = -(-(gy0 % bs + fh) // bs)
+        ncx = -(-(gx0 % bs + fw) // bs)
+        subs.append(gmap[cy0:cy0 + ncy, cx0:cx0 + ncx])
+        cell0[i] = 0.0
+    gy = max(s.shape[0] for s in subs)
+    gx = max(s.shape[1] for s in subs)
+    cg = subs[0].shape[-1]
+    gstack = np.ones((b, gy, gx, cg), np.float32)
+    for i, s in enumerate(subs):
+        gstack[i, :s.shape[0], :s.shape[1]] = s
+        # edge-replicate so the bilinear taps at image edges stay sane
+        gstack[i, s.shape[0]:, :s.shape[1]] = s[-1:, :]
+        gstack[i, :, s.shape[1]:] = gstack[i, :, s.shape[1] - 1:s.shape[1]]
+    # cells per pixel at APPLY resolution: feed cells cover feed-size pixels;
+    # the tile is the same content at apply resolution
+    fw0, fh0 = compensator._feed_sizes[0]
+    aw0, ah0 = stack.sizes[0]
+    inv_bs = (fw0 / max(aw0, 1)) / bs
+    tiles = _gain_map_kernel(stack.data, jnp.asarray(gstack),
+                             jnp.asarray(cell0), jnp.float32(inv_bs))
+    return TileStack(tiles, stack.masks, stack.corners, stack.sizes)
+
+
+# ---------------------------------------------------------------------------
+# Batched seam-mask resize (dilate + bilinear resize + AND with warp mask)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _seam_resize_kernel(seams, lo_sizes, fin_masks, fin_sizes):
+    """seams: (B, LH, LW) f32; fin_masks: (B, TH, TW) f32 {0,255}.
+    Per image: 3x3 dilate the LOW seam mask, bilinear-resize it to the
+    image's FINAL size, zero outside the FINAL warp mask.
+    """
+    LH, LW = seams.shape[1], seams.shape[2]
+    TH, TW = fin_masks.shape[1], fin_masks.shape[2]
+
+    dil = jax.lax.reduce_window(
+        seams, jnp.float32(0), jax.lax.max,
+        (1, 3, 3), (1, 1, 1), "SAME")
+
+    def one(s, lsz, fm, fsz):
+        sxr = lsz[0].astype(jnp.float32) / jnp.maximum(
+            fsz[0].astype(jnp.float32), 1.0)
+        syr = lsz[1].astype(jnp.float32) / jnp.maximum(
+            fsz[1].astype(jnp.float32), 1.0)
+        xs = (jnp.arange(TW, dtype=jnp.float32) + 0.5) * sxr - 0.5
+        ys = (jnp.arange(TH, dtype=jnp.float32) + 0.5) * syr - 0.5
+        xs = jnp.clip(xs, 0.0, lsz[0].astype(jnp.float32) - 1.0)
+        ys = jnp.clip(ys, 0.0, lsz[1].astype(jnp.float32) - 1.0)
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        fx = (xs - x0)[None, :]
+        fy = (ys - y0)[:, None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, LW - 1)
+        x1i = jnp.clip(x0i + 1, 0, LW - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, LH - 1)
+        y1i = jnp.clip(y0i + 1, 0, LH - 1)
+        r0 = s[y0i][:, x0i] * (1 - fx) + s[y0i][:, x1i] * fx
+        r1 = s[y1i][:, x0i] * (1 - fx) + s[y1i][:, x1i] * fx
+        res = r0 * (1 - fy) + r1 * fy
+        return jnp.where(fm > 0, res, 0.0)
+
+    return jax.vmap(one)(dil, lo_sizes, fin_masks, fin_sizes)
+
+
+def resize_seam_masks_stack(seam_masks_low, final_stack: TileStack):
+    """Stack the LOW seam masks, resize against the FINAL stack's masks.
+
+    seam_masks_low: list of (h, w) uint8. Returns (B, TH, TW) f32 device
+    array aligned with `final_stack.data`.
+    """
+    b = final_stack.data.shape[0]
+    lh = _round_up(max(m.shape[0] for m in seam_masks_low), 64)
+    lw = _round_up(max(m.shape[1] for m in seam_masks_low), 64)
+    lo = np.zeros((b, lh, lw), np.float32)
+    lsz = np.ones((b, 2), np.int32)
+    for i, m in enumerate(seam_masks_low):
+        h, w = m.shape[:2]
+        lo[i, :h, :w] = m
+        lsz[i] = (w, h)
+    fsz = np.ones((b, 2), np.int32)
+    fsz[:len(final_stack.sizes)] = final_stack.sizes
+    return _seam_resize_kernel(
+        jnp.asarray(lo), jnp.asarray(lsz), final_stack.masks,
+        jnp.asarray(fsz))
+
+
+# ---------------------------------------------------------------------------
+# Batched blending: one scan over the tile batch, one collapse
+# ---------------------------------------------------------------------------
+
+def _canvas_roi(corners, sizes):
+    xs = corners[:, 0]
+    ys = corners[:, 1]
+    x2 = corners[:, 0] + sizes[:, 0]
+    y2 = corners[:, 1] + sizes[:, 1]
+    tl = (int(xs.min()), int(ys.min()))
+    return tl, (int(x2.max()) - tl[0], int(y2.max()) - tl[1])
+
+
+@partial(jax.jit, static_argnames=("nb", "wh", "ww", "ph", "pw"))
+def _mb_blend_kernel(tiles, seams, offs, shifts, sizes, *, nb, wh, ww,
+                     ph, pw):
+    """Multiband blend of the whole stack in one program.
+
+    tiles: (B, TH, TW, C); seams: (B, TH, TW) f32; offs: (B, 2) int32
+    pyramid-aligned canvas offsets (x, y) of each window; shifts: (B, 2)
+    int32 tile-origin offset inside its window; sizes: (B, 2) int32 true
+    (w, h). Returns (pano (ph, pw, C) f32, weight (ph, pw) f32).
+    """
+    from .ops.pyramid import (build_gaussian, build_laplacian,
+                              collapse_laplacian)
+
+    C = tiles.shape[-1]
+    band_acc = tuple(jnp.zeros((ph >> l, pw >> l, C), jnp.float32)
+                     for l in range(nb + 1))
+    band_w = tuple(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32)
+                   for l in range(nb + 1))
+
+    def reflect(i, n):
+        period = 2 * n
+        i = jnp.mod(i, period)
+        i = jnp.where(i < 0, i + period, i)
+        return jnp.where(i >= n, period - 1 - i, i)
+
+    def feed(carry, x):
+        acc, wacc = carry
+        tile, seam, off, shift, size = x
+        w, h = size[0], size[1]
+        # window content: reflect-border view of the tile, mask zero outside
+        ry = jnp.arange(wh, dtype=jnp.int32) - shift[1]
+        rx = jnp.arange(ww, dtype=jnp.int32) - shift[0]
+        yr = jnp.clip(reflect(ry, h), 0, tile.shape[0] - 1)
+        xr = jnp.clip(reflect(rx, w), 0, tile.shape[1] - 1)
+        win = tile[yr][:, xr]
+        iny = (ry >= 0) & (ry < h)
+        inx = (rx >= 0) & (rx < w)
+        sm = jnp.where(iny[:, None] & inx[None, :],
+                       seam[jnp.clip(ry, 0, tile.shape[0] - 1)][
+                           :, jnp.clip(rx, 0, tile.shape[1] - 1)],
+                       0.0)
+        wmask = (sm > 0).astype(jnp.float32)[..., None]
+        laps = build_laplacian(win, nb)
+        wpyr = build_gaussian(wmask, nb)
+        new_acc, new_w = [], []
+        for lvl in range(nb + 1):
+            s = 1 << lvl
+            yy = off[1] // s
+            xx = off[0] // s
+            contrib = laps[lvl] * wpyr[lvl]
+            bh, bw = contrib.shape[0], contrib.shape[1]
+            a = jax.lax.dynamic_slice(
+                acc[lvl], (yy, xx, 0), (bh, bw, C)) + contrib
+            new_acc.append(jax.lax.dynamic_update_slice(
+                acc[lvl], a, (yy, xx, 0)))
+            wv = jax.lax.dynamic_slice(
+                wacc[lvl], (yy, xx, 0), (bh, bw, 1)) + wpyr[lvl]
+            new_w.append(jax.lax.dynamic_update_slice(
+                wacc[lvl], wv, (yy, xx, 0)))
+        return (tuple(new_acc), tuple(new_w)), 0
+
+    (band_acc, band_w), _ = jax.lax.scan(
+        feed, (band_acc, band_w), (tiles, seams, offs, shifts, sizes))
+    laps = [band_acc[l] / (band_w[l] + 1e-5) for l in range(nb + 1)]
+    out = collapse_laplacian(laps)
+    return out, band_w[0][..., 0]
+
+
+@partial(jax.jit, static_argnames=("ph", "pw"))
+def _feather_blend_kernel(tiles, seams, offs, sizes, sharpness, *, ph, pw):
+    from .ops.blend import distance_transform_l1
+
+    C = tiles.shape[-1]
+    acc = jnp.zeros((ph, pw, C), jnp.float32)
+    wsum = jnp.zeros((ph, pw), jnp.float32)
+    TH, TW = tiles.shape[1], tiles.shape[2]
+
+    def feed(carry, x):
+        acc, wsum = carry
+        tile, seam, off, size = x
+        cols = jnp.arange(TW)[None, :]
+        rows = jnp.arange(TH)[:, None]
+        inside = (cols < size[0]) & (rows < size[1])
+        m = jnp.where(inside, (seam > 0).astype(jnp.float32), 0.0)
+        wgt = jnp.minimum(distance_transform_l1(m) * sharpness, 1.0)
+        wgt = jnp.where(m > 0, wgt, 0.0)
+        a = jax.lax.dynamic_slice(
+            acc, (off[1], off[0], 0), (TH, TW, C)) + tile * wgt[..., None]
+        acc = jax.lax.dynamic_update_slice(acc, a, (off[1], off[0], 0))
+        wv = jax.lax.dynamic_slice(wsum, (off[1], off[0]), (TH, TW)) + wgt
+        wsum = jax.lax.dynamic_update_slice(wsum, wv, (off[1], off[0]))
+        return (acc, wsum), 0
+
+    (acc, wsum), _ = jax.lax.scan(feed, (acc, wsum),
+                                  (tiles, seams, offs, sizes))
+    out = acc / jnp.maximum(wsum[..., None], 1e-5)
+    return out, wsum
+
+
+@partial(jax.jit, static_argnames=("ph", "pw"))
+def _paste_blend_kernel(tiles, seams, offs, sizes, *, ph, pw):
+    C = tiles.shape[-1]
+    canvas = jnp.zeros((ph, pw, C), jnp.float32)
+    cmask = jnp.zeros((ph, pw), jnp.float32)
+    TH, TW = tiles.shape[1], tiles.shape[2]
+
+    def feed(carry, x):
+        canvas, cmask = carry
+        tile, seam, off, size = x
+        cols = jnp.arange(TW)[None, :]
+        rows = jnp.arange(TH)[:, None]
+        inside = (cols < size[0]) & (rows < size[1]) & (seam > 0)
+        region = jax.lax.dynamic_slice(
+            canvas, (off[1], off[0], 0), (TH, TW, C))
+        region = jnp.where(inside[..., None], tile, region)
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, region, (off[1], off[0], 0))
+        mreg = jax.lax.dynamic_slice(cmask, (off[1], off[0]), (TH, TW))
+        mreg = jnp.where(inside, jnp.float32(255), mreg)
+        cmask = jax.lax.dynamic_update_slice(cmask, mreg, (off[1], off[0]))
+        return (canvas, cmask), 0
+
+    (canvas, cmask), _ = jax.lax.scan(feed, (canvas, cmask),
+                                      (tiles, seams, offs, sizes))
+    return canvas, cmask
+
+
+@jax.jit
+def _to_u8(img):
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+
+
+def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength):
+    """Composite the stack into the final panorama: one jitted feed-scan +
+    collapse, one uint8 device->host transfer.
+
+    seam_masks: (B, TH, TW) device array (from `resize_seam_masks_stack`)
+    or None (use the stack's warp masks). Returns (pano_u8, mask_u8).
+    """
+    corners = np.asarray(stack.corners)
+    sizes = np.asarray(stack.sizes)
+    tl, (dw, dh) = _canvas_roi(corners, sizes)
+    if seam_masks is None:
+        seam_masks = stack.masks
+    b = stack.data.shape[0]
+    n = len(sizes)
+    szs = np.ones((b, 2), np.int32)
+    szs[:n] = sizes
+
+    # resolve blender kind like the reference (blend_width < 1 -> NO)
+    blend_width = np.sqrt(dh * dw) * blend_strength / 100.0
+    kind = blender_type if blend_width >= 1 else "no"
+
+    if kind == "multiband":
+        # reference num_bands formula (stitching/blender.py:32), clipped
+        nb = int(np.clip(int(np.log(blend_width) / np.log(2.0) - 1.0), 1, 8))
+        m = 1 << nb
+        gap = 3 * m
+        th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
+        wh = _round_up(th + 2 * gap + m, max(_BUCKET, m))
+        ww = _round_up(twd + 2 * gap + m, max(_BUCKET, m))
+        ph = _round_up(dh, m) + wh
+        pw = _round_up(dw, m) + ww
+        offs = np.zeros((b, 2), np.int32)
+        shifts = np.zeros((b, 2), np.int32)
+        for i in range(n):
+            for a, (c, d) in enumerate(((0, dw), (1, dh))):
+                start = max(corners[i, a] - gap, tl[a])
+                aligned = tl[a] + ((start - tl[a]) // m) * m
+                offs[i, a] = aligned - tl[a]
+                shifts[i, a] = corners[i, a] - aligned
+        pano, wmap = _mb_blend_kernel(
+            stack.data, seam_masks, jnp.asarray(offs), jnp.asarray(shifts),
+            jnp.asarray(szs), nb=nb, wh=wh, ww=ww, ph=ph, pw=pw)
+    else:
+        th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
+        ph = dh + th
+        pw = dw + twd
+        offs = np.zeros((b, 2), np.int32)
+        offs[:n] = corners - np.asarray(tl)[None, :]
+        if kind == "feather":
+            sharpness = 1.0 / blend_width
+            pano, wmap = _feather_blend_kernel(
+                stack.data, seam_masks, jnp.asarray(offs), jnp.asarray(szs),
+                jnp.float32(sharpness), ph=ph, pw=pw)
+        else:
+            pano, wmap = _paste_blend_kernel(
+                stack.data, seam_masks, jnp.asarray(offs), jnp.asarray(szs),
+                ph=ph, pw=pw)
+
+    pano8 = np.asarray(_to_u8(pano[:dh, :dw]))
+    mask8 = (np.asarray(wmap[:dh, :dw]) > 1e-5).astype(np.uint8) * 255
+    return pano8, mask8

@@ -92,6 +92,12 @@ class Cropper:
     def prepare(self, imgs, masks, corners, sizes):
         if self.do_crop:
             mask = self.estimate_panorama_mask(imgs, masks, corners, sizes)
+            self.prepare_from_mask(mask, corners, sizes)
+
+    def prepare_from_mask(self, mask, corners, sizes):
+        """Plan crop rects from an already-composited panorama mask (the
+        batched engine computes it on device; `prepare` via create_panorama)."""
+        if self.do_crop:
             self.lir = self.estimate_largest_interior_rectangle(mask)
             corners = self.get_zero_center_corners(corners)
             rectangles = self.get_rectangles(corners, sizes)

@@ -1,0 +1,214 @@
+"""The batched stitching engine: registration + composition as staged,
+device-resident array programs.
+
+This is the architectural core the `Stitcher` facade drives. Unlike the
+reference's orchestration (`stitching/stitcher.py:94-128`), which walks
+per-image lazy generators with a host round-trip between every stage, the
+engine works on STACKS:
+
+1. originals upload once as one padded (B, H, W, C) device stack;
+2. every resolution change is one batched resize kernel (`pipeline.py`);
+3. registration (detect, match+RANSAC) is two batched dispatches;
+4. camera math (estimate, bundle-adjust, wave-correct) runs on tiny
+   per-camera tensors;
+5. the LOW pass (crop planning, exposure stats, seam search) warps all
+   images in one dispatch and pulls the small LOW tiles to host ONCE;
+6. the FINAL pass (warp, crop, gain, seam upscale, blend) never leaves the
+   device: `compose.py` kernels end-to-end, one uint8 transfer at the end.
+
+Intermediate state is carried in explicit immutable dataclasses
+(`Registration`, `CompositionPlan`) rather than object attributes, so each
+stage is a pure, separately testable function. Resolution semantics (MEDIUM
+registration / LOW planning / FINAL compositing) and all error/warning
+contracts match the reference (`stitching/stitcher.py:94-128`, `images.py`).
+"""
+
+import dataclasses
+
+import numpy as np
+
+from . import profiling as prof
+from .compose import (TileStack, apply_gains_stack, blend_stack,
+                      resize_seam_masks_stack, slice_stack, warp_stack)
+from .images import Images
+from .pipeline import resize_stack, stack_images
+from .subsetter import Subsetter
+from .warper import Warper
+
+Resolution = Images.Resolution
+
+
+@dataclasses.dataclass
+class Registration:
+    """Everything the registration pass decides."""
+
+    images: object          # Images (subset applied)
+    stack: object           # DeviceStack of ORIGINAL-resolution images
+    features: list
+    matches: list
+    cameras: list
+    scale: float            # canvas scale (median focal)
+
+
+@dataclasses.dataclass
+class CompositionPlan:
+    """LOW-pass products needed to composite at FINAL resolution."""
+
+    seam_masks_low: list    # per-image uint8 seam masks (LOW, host)
+    crop_rects: list | None  # per-image Rectangle at LOW res, or None
+    lir_aspect: float
+
+
+# ---------------------------------------------------------------------------
+# Registration
+# ---------------------------------------------------------------------------
+
+def register(st, images, feature_masks=()):
+    """MEDIUM-resolution registration: one detect dispatch, one match
+    dispatch, then small-tensor camera estimation."""
+    images_obj = Images.of(
+        images, st.medium_megapix, st.low_megapix, st.final_megapix)
+    with prof.stage_timer("registration/upload"):
+        originals = [np.asarray(img) for img in images_obj]
+        stack = stack_images(originals)
+    with prof.stage_timer("registration/resize_medium"):
+        medium = resize_stack(
+            stack, images_obj.get_scaled_img_sizes(Resolution.MEDIUM))
+    with prof.stage_timer("registration/detect"):
+        masks_medium = _prepare_feature_masks(st, feature_masks, medium)
+        features = st.detector.detect_on_stack(medium, masks_medium)
+    with prof.stage_timer("registration/match"):
+        matches = st.matcher.match_features(features)
+    with prof.stage_timer("registration/subset"):
+        indices = st.subsetter.subset(images_obj.names, features, matches)
+        features = Subsetter.subset_list(features, indices)
+        matches = Subsetter.subset_matches(matches, indices)
+        images_obj.subset(indices)
+        if len(indices) < stack.batch:
+            stack = dataclasses.replace(
+                stack, data=stack.data[np.asarray(indices)],
+                sizes=stack.sizes[np.asarray(indices)])
+    with prof.stage_timer("registration/estimate"):
+        cameras = st.camera_estimator.estimate(features, matches)
+    with prof.stage_timer("registration/bundle_adjust"):
+        cameras = st.camera_adjuster.adjust(features, matches, cameras)
+    with prof.stage_timer("registration/wave_correct"):
+        cameras = st.wave_corrector.correct(cameras)
+    st.warper.set_scale(cameras)
+    return Registration(images_obj, stack, features, matches, cameras,
+                        st.warper.scale)
+
+
+def _prepare_feature_masks(st, feature_masks, medium_stack):
+    """Resize user feature masks to MEDIUM and validate sizes."""
+    from .errors import StitchingError
+
+    if not feature_masks or len(feature_masks) == 0:
+        return None
+    masks_obj = Images.of(list(feature_masks), st.medium_megapix,
+                          st.low_megapix, st.final_megapix)
+    masks = [Images.to_binary(m)
+             for m in masks_obj.resize(Resolution.MEDIUM)]
+    if len(masks) != len(medium_stack.sizes):
+        raise StitchingError("image and mask lists must be of same length")
+    for idx, m in enumerate(masks):
+        w, h = medium_stack.sizes[idx]
+        if m.shape[0] != h or m.shape[1] != w:
+            raise StitchingError(
+                f"Resolution of mask {idx + 1} {m.shape} does not match"
+                f" the resolution of image {idx + 1} {(h, w)}.")
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# Warping helpers
+# ---------------------------------------------------------------------------
+
+def warp_resolution(st, reg: Registration, resolution) -> TileStack:
+    """Resize the original stack to `resolution` and warp every image onto
+    the compositing surface — two dispatches total."""
+    sizes = reg.images.get_scaled_img_sizes(resolution)
+    resized = resize_stack(reg.stack, sizes)
+    aspect = reg.images.get_ratio(Resolution.MEDIUM, resolution)
+    Ks = [Warper.get_K(cam, aspect) for cam in reg.cameras]
+    Rs = [cam.R for cam in reg.cameras]
+    return warp_stack(resized.data, resized.sizes, Ks, Rs,
+                      reg.scale * aspect, st.warper.warper_type)
+
+
+def _crop_tiles(ts: TileStack, cropper, aspect) -> TileStack:
+    """Apply the prepared cropper's per-image rects at `aspect` scale."""
+    rects = [r.times(aspect) for r in cropper.intersection_rectangles]
+    corners, sizes = cropper.crop_rois(
+        [tuple(c) for c in ts.corners],
+        [tuple(s) for s in ts.sizes], aspect)
+    out = slice_stack(ts, [tuple(r) for r in rects])
+    return dataclasses.replace(out, corners=np.asarray(corners),
+                               sizes=np.asarray(sizes, np.int64))
+
+
+# ---------------------------------------------------------------------------
+# LOW pass: crop planning, exposure stats, seam search
+# ---------------------------------------------------------------------------
+
+def plan_composition(st, reg: Registration) -> CompositionPlan:
+    with prof.stage_timer("low/warp"):
+        low = warp_resolution(st, reg, Resolution.LOW)
+    with prof.stage_timer("low/crop"):
+        if st.cropper.do_crop:
+            _, pano_mask = blend_stack(low, None, "no", 0)
+            st.cropper.prepare_from_mask(
+                pano_mask, [tuple(c) for c in low.corners],
+                [tuple(s) for s in low.sizes])
+            low = _crop_tiles(low, st.cropper, 1)
+        lir_aspect = reg.images.get_ratio(Resolution.LOW, Resolution.FINAL)
+    with prof.stage_timer("low/to_host"):
+        low_imgs, low_masks = low.to_host()
+        low_corners = [tuple(c) for c in low.corners]
+    with prof.stage_timer("low/exposure_feed"):
+        st.compensator.feed(low_corners, low_imgs, low_masks)
+    with prof.stage_timer("low/seam_find"):
+        seam_masks = st.seam_finder.find(low_imgs, low_corners, low_masks)
+    return CompositionPlan(
+        seam_masks, st.cropper.intersection_rectangles
+        if st.cropper.do_crop else None, lir_aspect)
+
+
+# ---------------------------------------------------------------------------
+# FINAL pass: fully device-resident compositing
+# ---------------------------------------------------------------------------
+
+def composite(st, reg: Registration, plan: CompositionPlan):
+    with prof.stage_timer("final/warp"):
+        fin = warp_resolution(st, reg, Resolution.FINAL)
+    with prof.stage_timer("final/crop"):
+        if plan.crop_rects is not None:
+            fin = _crop_tiles(fin, st.cropper, plan.lir_aspect)
+
+    if st.timelapser.do_timelapse:
+        with prof.stage_timer("final/timelapse"):
+            corners = [tuple(c) for c in fin.corners]
+            sizes = [tuple(s) for s in fin.sizes]
+            st.timelapser.initialize(corners, sizes)
+            imgs, _ = fin.to_host()
+            for name, img, corner in zip(reg.images.names, imgs, corners):
+                st.timelapser.process_and_save_frame(
+                    name, np.clip(np.round(img), 0, 255).astype(np.uint8),
+                    corner)
+        return None
+
+    with prof.stage_timer("final/gain_apply"):
+        fin = apply_gains_stack(fin, st.compensator)
+    with prof.stage_timer("final/seam_resize"):
+        seams = resize_seam_masks_stack(plan.seam_masks_low, fin)
+    with prof.stage_timer("final/blend"):
+        pano, _ = blend_stack(fin, seams, st.blender.blender_type,
+                              st.blender.blend_strength)
+    return pano
+
+
+def run(st, images, feature_masks=()):
+    """The full pipeline: register -> plan -> composite."""
+    reg = register(st, images, feature_masks)
+    plan = plan_composition(st, reg)
+    return composite(st, reg, plan)

@@ -68,7 +68,11 @@ class FeatureDetector:
                                     else [mask])[0]
 
     def _detect_batched(self, imgs, masks):
-        stack = stack_images(imgs)
+        return self.detect_on_stack(stack_images(imgs), masks)
+
+    def detect_on_stack(self, stack, masks=None):
+        """Detect on an already-device-resident DeviceStack (the batched
+        engine path — avoids re-uploading images)."""
         out = jax.device_get(detect_stack(
             stack, nfeatures=self.nfeatures, variant=self.detector_name,
             feature_masks=masks))
@@ -80,10 +84,10 @@ class FeatureDetector:
                 angle=np.asarray(out["angle_deg"][i]),
                 desc=np.asarray(out["desc"][i]),
                 valid=np.asarray(out["valid"][i]),
-                img_size=(int(imgs[i].shape[1]), int(imgs[i].shape[0])),
+                img_size=(int(w), int(h)),
                 is_binary=self.is_binary,
             )
-            for i in range(len(imgs))
+            for i, (w, h) in enumerate(stack.sizes)
         ]
 
     @staticmethod

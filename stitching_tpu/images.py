@@ -1,17 +1,20 @@
-"""Input image management: multi-resolution scheme + lazy loading.
+"""Input image sets and the three-resolution scheme.
 
-Parity: reference `stitching/images.py:13-200`. The three-resolution scheme
-(MEDIUM 0.6 MP for registration, LOW 0.1 MP for seam/exposure planning, FINAL
--1 i.e. native for compositing), the factory dispatch (`Images.of`), the
-lazy per-image generator semantics of `_FilenameImages.__iter__` (scales and
-sizes are set as a first-iteration side effect), the >=2-image validation and
-the scale-ratio math are all behavioral contracts pinned by the reference's
-`tests/test_images.py`. Resizing itself runs on device
-(`stitching_tpu/ops/resize.py`) instead of cv.resize.
+Behavioral parity with the reference's `stitching/images.py` (pinned by
+tests/test_images.py): `Images.of` factory dispatch (ndarray list vs
+filename list), MEDIUM 0.6 / LOW 0.1 / FINAL -1 megapixel targets, scales
+derived from the FIRST image's size, lazy per-iteration file reading with
+sizes recorded as a side effect, wildcard resolution, and the >=2-image /
+megapix-ordering validations with the same error messages.
+
+Structure is engine-oriented rather than generator-oriented: resolution
+bookkeeping lives in one `_ResolutionPlan` value object that the batched
+engine queries for target sizes and ratios (`engine.py` resizes whole
+stacks on device in one kernel); the per-image `resize` generator remains
+for component-level use (verbose mode, tutorials).
 """
 
 import os
-from abc import ABC, abstractmethod
 from enum import Enum
 from glob import glob
 
@@ -23,7 +26,49 @@ from .megapix_scaler import MegapixDownscaler
 from .ops.resize import resize as _resize
 
 
-class Images(ABC):
+class _ResolutionPlan:
+    """Megapixel targets -> per-resolution scale factors and target sizes.
+
+    Scales lock in once, from the first image's size (reference
+    images.py:85-89: all images in a set share the first image's scale).
+    """
+
+    def __init__(self, medium_megapix, low_megapix, final_megapix):
+        if medium_megapix < low_megapix:
+            raise StitchingError(
+                "Medium resolution megapix need to be "
+                "greater or equal than low resolution "
+                "megapix"
+            )
+        self._scalers = {
+            "MEDIUM": MegapixDownscaler(medium_megapix),
+            "LOW": MegapixDownscaler(low_megapix),
+            "FINAL": MegapixDownscaler(final_megapix),
+        }
+        self.locked = False
+
+    def lock(self, first_size):
+        if not self.locked:
+            for scaler in self._scalers.values():
+                scaler.set_scale_by_img_size(first_size)
+            self.locked = True
+
+    def scaler(self, resolution):
+        Images.check_resolution(resolution)
+        return self._scalers[resolution.name]
+
+    def scale(self, resolution):
+        assert self.locked
+        return self.scaler(resolution).scale
+
+    def ratio(self, from_resolution, to_resolution):
+        return self.scale(to_resolution) / self.scale(from_resolution)
+
+    def target_size(self, resolution, size):
+        return self.scaler(resolution).get_scaled_img_size(size)
+
+
+class Images:
     class Resolution(Enum):
         MEDIUM = 0.6
         LOW = 0.1
@@ -37,89 +82,75 @@ class Images(ABC):
         final_megapix=Resolution.FINAL.value,
     ):
         if not isinstance(images, list):
-            raise StitchingError("images must be a list of images or filenames")
+            raise StitchingError(
+                "images must be a list of images or filenames")
         if len(images) == 0:
             raise StitchingError("images must not be an empty list")
-
-        if Images.check_list_element_types(images, np.ndarray):
-            return _NumpyImages(images, medium_megapix, low_megapix, final_megapix)
-        elif Images.check_list_element_types(images, str):
-            return _FilenameImages(images, medium_megapix, low_megapix, final_megapix)
-        else:
-            raise StitchingError(
-                """invalid images list:
+        mp = (medium_megapix, low_megapix, final_megapix)
+        if all(isinstance(i, np.ndarray) for i in images):
+            return _NumpyImages(images, *mp)
+        if all(isinstance(i, str) for i in images):
+            return _FilenameImages(images, *mp)
+        raise StitchingError(
+            """invalid images list:
                     must be numpy arrays (loaded images) or filename strings"""
-            )
+        )
 
-    @abstractmethod
-    def __init__(self, images, medium_megapix, low_megapix, final_megapix):
-        if medium_megapix < low_megapix:
-            raise StitchingError(
-                "Medium resolution megapix need to be "
-                "greater or equal than low resolution "
-                "megapix"
-            )
+    def __init__(self, names, medium_megapix, low_megapix, final_megapix):
+        self._plan = _ResolutionPlan(
+            medium_megapix, low_megapix, final_megapix)
+        self._names = names
+        self._size_table = [None] * len(names)
 
-        self._scalers = {
-            "MEDIUM": MegapixDownscaler(medium_megapix),
-            "LOW": MegapixDownscaler(low_megapix),
-            "FINAL": MegapixDownscaler(final_megapix),
-        }
-        self._scales_set = False
-        self._sizes_set = False
-        self._names_set = False
+    # -- iteration: subclasses yield raw images through `_record` ----------
 
-    @property
-    def sizes(self):
-        assert self._sizes_set
-        return self._sizes
+    def __iter__(self):
+        for idx in range(len(self._names)):
+            yield self._record(idx, self._load(idx))
+
+    def _load(self, idx):
+        raise NotImplementedError
+
+    def _record(self, idx, img):
+        """Register size/scale bookkeeping for a just-produced image."""
+        if self._size_table[idx] is None:
+            self._size_table[idx] = Images.get_image_size(img)
+        first = self._size_table[0]
+        if first is not None:
+            self._plan.lock(first)
+        return img
+
+    # -- metadata -----------------------------------------------------------
 
     @property
     def names(self):
-        assert self._names_set
         return self._names
 
-    @abstractmethod
+    @property
+    def sizes(self):
+        assert all(s is not None for s in self._size_table)
+        return self._size_table
+
     def subset(self, indices):
-        self._sizes = [self._sizes[i] for i in indices]
         self._names = [self._names[i] for i in indices]
+        self._size_table = [self._size_table[i] for i in indices]
 
-    def resize(self, resolution, imgs=None):
-        img_iterable = self.__iter__() if imgs is None else imgs
-        for idx, img in enumerate(img_iterable):
-            yield Images.resize_img_by_scaler(
-                self._get_scaler(resolution), self._sizes[idx], img
-            )
-
-    @abstractmethod
-    def __iter__(self):
-        pass
-
-    def _set_scales(self, size):
-        if not self._scales_set:
-            for scaler in self._scalers.values():
-                scaler.set_scale_by_img_size(size)
-            self._scales_set = True
-
-    def _get_scaler(self, resolution):
-        Images.check_resolution(resolution)
-        return self._scalers[resolution.name]
+    # -- resolution queries (the batched engine's interface) ----------------
 
     def get_ratio(self, from_resolution, to_resolution):
-        assert self._scales_set
-        Images.check_resolution(from_resolution)
-        Images.check_resolution(to_resolution)
-        return (
-            self._get_scaler(to_resolution).scale
-            / self._get_scaler(from_resolution).scale  # noqa: W503
-        )
+        return self._plan.ratio(from_resolution, to_resolution)
 
     def get_scaled_img_sizes(self, resolution):
-        assert self._scales_set and self._sizes_set
-        Images.check_resolution(resolution)
-        return [
-            self._get_scaler(resolution).get_scaled_img_size(sz) for sz in self._sizes
-        ]
+        return [self._plan.target_size(resolution, s) for s in self.sizes]
+
+    # -- per-image resize generator (component-level / verbose use) ---------
+
+    def resize(self, resolution, imgs=None):
+        for idx, img in enumerate(imgs if imgs is not None else self):
+            yield Images.resize_img_by_scaler(
+                self._plan.scaler(resolution), self._size_table[idx], img)
+
+    # -- static helpers ------------------------------------------------------
 
     @staticmethod
     def read_image(img_name):
@@ -132,22 +163,23 @@ class Images(ABC):
 
     @staticmethod
     def resize_img_by_scaler(scaler, size, img):
-        desired_size = scaler.get_scaled_img_size(size)
-        return _resize(img, desired_size)
+        return _resize(img, scaler.get_scaled_img_size(size))
 
     @staticmethod
     def check_resolution(resolution):
-        assert isinstance(resolution, Enum) and resolution in Images.Resolution
+        assert (isinstance(resolution, Enum)
+                and resolution in Images.Resolution)
 
     @staticmethod
     def resolve_wildcards(img_names):
         if len(img_names) == 1:
-            img_names = [i for i in glob(img_names[0]) if not os.path.isdir(i)]
+            img_names = [f for f in glob(img_names[0])
+                         if not os.path.isdir(f)]
         return img_names
 
     @staticmethod
     def check_list_element_types(list_, type_):
-        return all([isinstance(element, type_) for element in list_])
+        return all(isinstance(element, type_) for element in list_)
 
     @staticmethod
     def to_binary(img):
@@ -155,53 +187,42 @@ class Images(ABC):
         img = np.asarray(img)
         if img.ndim == 3:
             # BT.601 luma, same weights cv.cvtColor BGR2GRAY uses.
-            img = (
-                0.114 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.299 * img[:, :, 2]
-            )
+            img = (0.114 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                   + 0.299 * img[:, :, 2])
         return ((img > 0.5) * 255).astype(np.uint8)
 
 
 class _NumpyImages(Images):
+    """In-memory image list; sizes and scales known up front."""
+
     def __init__(self, images, medium_megapix, low_megapix, final_megapix):
-        super().__init__(images, medium_megapix, low_megapix, final_megapix)
         if len(images) < 2:
             raise StitchingError("2 or more Images needed")
-        self._images = images
-        self._sizes = [Images.get_image_size(img) for img in images]
-        self._sizes_set = True
-        self._names = [str(i + 1) for i in range(len(images))]
-        self._names_set = True
-        self._set_scales(self._sizes[0])
+        names = [str(i + 1) for i in range(len(images))]
+        super().__init__(names, medium_megapix, low_megapix, final_megapix)
+        self._images = list(images)
+        for idx, img in enumerate(self._images):
+            self._size_table[idx] = Images.get_image_size(img)
+        self._plan.lock(self._size_table[0])
 
     def subset(self, indices):
         super().subset(indices)
         self._images = [self._images[i] for i in indices]
 
-    def __iter__(self):
-        yield from self._images
+    def _load(self, idx):
+        return self._images[idx]
 
 
 class _FilenameImages(Images):
+    """Disk-backed set: images read lazily per iteration pass; sizes and
+    scales are recorded as first-pass side effects (reference
+    images.py:183-200 semantics)."""
+
     def __init__(self, images, medium_megapix, low_megapix, final_megapix):
-        super().__init__(images, medium_megapix, low_megapix, final_megapix)
-        self._names = Images.resolve_wildcards(images)
-        self._names_set = True
-        if len(self.names) < 2:
+        names = Images.resolve_wildcards(images)
+        if len(names) < 2:
             raise StitchingError("2 or more Images needed")
-        self._sizes = []
+        super().__init__(names, medium_megapix, low_megapix, final_megapix)
 
-    def subset(self, indices):
-        super().subset(indices)
-
-    def __iter__(self):
-        for idx, name in enumerate(self.names):
-            img = Images.read_image(name)
-            size = Images.get_image_size(img)
-            # Scales and original sizes are set as first-iteration side
-            # effects (mirrors reference images.py:183-200).
-            self._set_scales(size)
-            if not self._sizes_set:
-                self._sizes.append(size)
-                if idx + 1 == len(self.names):
-                    self._sizes_set = True
-            yield img
+    def _load(self, idx):
+        return Images.read_image(self._names[idx])

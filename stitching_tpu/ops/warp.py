@@ -29,183 +29,175 @@ PI = math.pi
 
 # ---------------------------------------------------------------------------
 # Projection families: forward (x,y,z) -> (u,v); backward (u,v) -> (x,y,z).
-# All unscaled (the canvas scale multiplies u,v outside).
+# All unscaled (the canvas scale multiplies u,v outside). Built generically
+# over an array namespace `xp`: the jnp instance feeds the device kernels,
+# the np instance lets ROI planning run entirely on host (no per-image
+# device dispatch for a handful of border points).
 # ---------------------------------------------------------------------------
 
-def _sph_fwd(x, y, z):
-    u = jnp.arctan2(x, z)
-    r = jnp.sqrt(x * x + y * y + z * z)
-    v = PI - jnp.arccos(jnp.clip(y / jnp.maximum(r, 1e-12), -1.0, 1.0))
-    return u, v
+def _build_projectors(xp):
+    def arcsinh(y):
+        return xp.arcsinh(y)
 
-
-def _sph_bwd(u, v):
-    sinv = jnp.sin(PI - v)
-    return sinv * jnp.sin(u), jnp.cos(PI - v), sinv * jnp.cos(u)
-
-
-def _plane_fwd(x, y, z):
-    zz = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    return x / zz, y / zz
-
-
-def _plane_bwd(u, v):
-    return u, v, jnp.ones_like(u)
-
-
-def _cyl_fwd(x, y, z):
-    u = jnp.arctan2(x, z)
-    v = y / jnp.maximum(jnp.sqrt(x * x + z * z), 1e-12)
-    return u, v
-
-
-def _cyl_bwd(u, v):
-    return jnp.sin(u), v, jnp.cos(u)
-
-
-def _fish_fwd(x, y, z):
-    u_ = jnp.arctan2(x, z)
-    r = jnp.sqrt(x * x + y * y + z * z)
-    v_ = PI - jnp.arccos(jnp.clip(y / jnp.maximum(r, 1e-12), -1.0, 1.0))
-    return v_ * jnp.cos(u_), v_ * jnp.sin(u_)
-
-
-def _fish_bwd(u, v):
-    u_ = jnp.arctan2(v, u)
-    v_ = jnp.sqrt(u * u + v * v)
-    sinv = jnp.sin(PI - v_)
-    return sinv * jnp.sin(u_), jnp.cos(PI - v_), sinv * jnp.cos(u_)
-
-
-def _stereo_fwd(x, y, z):
-    u_ = jnp.arctan2(x, z)
-    r = jnp.sqrt(x * x + y * y + z * z)
-    v_ = PI - jnp.arccos(jnp.clip(y / jnp.maximum(r, 1e-12), -1.0, 1.0))
-    rad = jnp.sin(v_) / jnp.maximum(1.0 - jnp.cos(v_), 1e-12)
-    return rad * jnp.cos(u_), rad * jnp.sin(u_)
-
-
-def _stereo_bwd(u, v):
-    u_ = jnp.arctan2(v, u)
-    rp = jnp.sqrt(u * u + v * v)
-    v_ = 2.0 * jnp.arctan2(1.0, rp)  # r = cot(v_/2)
-    sinv = jnp.sin(PI - v_)
-    return sinv * jnp.sin(u_), jnp.cos(PI - v_), sinv * jnp.cos(u_)
-
-
-def _comp_fwd(a, b):
-    def fwd(x, y, z):
-        u_ = jnp.arctan2(x, z)
-        r = jnp.sqrt(x * x + y * y + z * z)
-        v_ = jnp.arcsin(jnp.clip(y / jnp.maximum(r, 1e-12), -1.0, 1.0))
-        u = a * jnp.tan(u_ / a)
-        v = b * jnp.tan(v_ / b) / jnp.cos(u_)
+    def _sph_fwd(x, y, z):
+        u = xp.arctan2(x, z)
+        r = xp.sqrt(x * x + y * y + z * z)
+        v = PI - xp.arccos(xp.clip(y / xp.maximum(r, 1e-12), -1.0, 1.0))
         return u, v
-    return fwd
+
+    def _sph_bwd(u, v):
+        sinv = xp.sin(PI - v)
+        return sinv * xp.sin(u), xp.cos(PI - v), sinv * xp.cos(u)
+
+    def _plane_fwd(x, y, z):
+        zz = xp.where(xp.abs(z) < 1e-12, 1e-12, z)
+        return x / zz, y / zz
+
+    def _plane_bwd(u, v):
+        return u, v, xp.ones_like(u)
+
+    def _cyl_fwd(x, y, z):
+        u = xp.arctan2(x, z)
+        v = y / xp.maximum(xp.sqrt(x * x + z * z), 1e-12)
+        return u, v
+
+    def _cyl_bwd(u, v):
+        return xp.sin(u), v, xp.cos(u)
+
+    def _fish_fwd(x, y, z):
+        u_ = xp.arctan2(x, z)
+        r = xp.sqrt(x * x + y * y + z * z)
+        v_ = PI - xp.arccos(xp.clip(y / xp.maximum(r, 1e-12), -1.0, 1.0))
+        return v_ * xp.cos(u_), v_ * xp.sin(u_)
+
+    def _fish_bwd(u, v):
+        u_ = xp.arctan2(v, u)
+        v_ = xp.sqrt(u * u + v * v)
+        sinv = xp.sin(PI - v_)
+        return sinv * xp.sin(u_), xp.cos(PI - v_), sinv * xp.cos(u_)
+
+    def _stereo_fwd(x, y, z):
+        u_ = xp.arctan2(x, z)
+        r = xp.sqrt(x * x + y * y + z * z)
+        v_ = PI - xp.arccos(xp.clip(y / xp.maximum(r, 1e-12), -1.0, 1.0))
+        rad = xp.sin(v_) / xp.maximum(1.0 - xp.cos(v_), 1e-12)
+        return rad * xp.cos(u_), rad * xp.sin(u_)
+
+    def _stereo_bwd(u, v):
+        u_ = xp.arctan2(v, u)
+        rp = xp.sqrt(u * u + v * v)
+        v_ = 2.0 * xp.arctan2(1.0, rp)  # r = cot(v_/2)
+        sinv = xp.sin(PI - v_)
+        return sinv * xp.sin(u_), xp.cos(PI - v_), sinv * xp.cos(u_)
+
+    def _comp_fwd(a, b):
+        def fwd(x, y, z):
+            u_ = xp.arctan2(x, z)
+            r = xp.sqrt(x * x + y * y + z * z)
+            v_ = xp.arcsin(xp.clip(y / xp.maximum(r, 1e-12), -1.0, 1.0))
+            u = a * xp.tan(u_ / a)
+            v = b * xp.tan(v_ / b) / xp.cos(u_)
+            return u, v
+        return fwd
+
+    def _comp_bwd(a, b):
+        def bwd(u, v):
+            u_ = a * xp.arctan2(u, a)
+            lat = b * xp.arctan2(v * xp.cos(u_), b)
+            cl = xp.cos(lat)
+            return cl * xp.sin(u_), xp.sin(lat), cl * xp.cos(u_)
+        return bwd
+
+    def _pan_fwd(a, b):
+        def fwd(x, y, z):
+            u_ = xp.arctan2(x, z)
+            tg = a * xp.tan(u_ / a)
+            rho = xp.maximum(xp.sqrt(x * x + z * z), 1e-12)
+            tanv = y / rho
+            sinu = xp.sin(u_)
+            v = xp.where(xp.abs(sinu) < 1e-7,
+                         b * tanv,
+                         b * tg * tanv / xp.where(
+                             xp.abs(sinu) < 1e-7, 1.0, sinu))
+            return tg, v
+        return fwd
+
+    def _pan_bwd(a, b):
+        def bwd(u, v):
+            u_ = a * xp.arctan2(u, a)
+            sinu = xp.sin(u_)
+            tanv = xp.where(xp.abs(sinu) < 1e-7,
+                            v / b,
+                            v * sinu / (b * xp.where(
+                                xp.abs(u) < 1e-12, 1.0, u)))
+            lat = xp.arctan(tanv)
+            cl = xp.cos(lat)
+            return cl * xp.sin(u_), xp.sin(lat), cl * xp.cos(u_)
+        return bwd
+
+    def _merc_fwd(x, y, z):
+        u = xp.arctan2(x, z)
+        rho = xp.maximum(xp.sqrt(x * x + z * z), 1e-12)
+        v = arcsinh(y / rho)
+        return u, v
+
+    def _merc_bwd(u, v):
+        lat = xp.arctan(xp.sinh(v))
+        cl = xp.cos(lat)
+        return cl * xp.sin(u), xp.sin(lat), cl * xp.cos(u)
+
+    def _tmerc_fwd(x, y, z):
+        lon = xp.arctan2(x, z)
+        r = xp.sqrt(x * x + y * y + z * z)
+        lat = xp.arcsin(xp.clip(y / xp.maximum(r, 1e-12), -1.0, 1.0))
+        B = xp.clip(xp.cos(lat) * xp.sin(lon), -0.9999999, 0.9999999)
+        u = xp.arctanh(B)
+        v = xp.arctan2(xp.tan(lat), xp.cos(lon))
+        return u, v
+
+    def _tmerc_bwd(u, v):
+        lat = xp.arcsin(xp.clip(xp.sin(v) / xp.cosh(u), -1.0, 1.0))
+        lon = xp.arctan2(xp.sinh(u), xp.cos(v))
+        cl = xp.cos(lat)
+        return cl * xp.sin(lon), xp.sin(lat), cl * xp.cos(lon)
+
+    def _portrait(fwd, bwd):
+        """Portrait: swap x<->y in the ray, negate u (oracle-verified)."""
+        def pfwd(x, y, z):
+            u, v = fwd(y, x, z)
+            return -u, v
+
+        def pbwd(u, v):
+            x, y, z = bwd(-u, v)
+            return y, x, z
+        return pfwd, pbwd
+
+    comp2 = (_comp_fwd(2.0, 1.0), _comp_bwd(2.0, 1.0))
+    comp15 = (_comp_fwd(1.5, 1.0), _comp_bwd(1.5, 1.0))
+    pan2 = (_pan_fwd(2.0, 1.0), _pan_bwd(2.0, 1.0))
+    pan15 = (_pan_fwd(1.5, 1.0), _pan_bwd(1.5, 1.0))
+
+    return {
+        "spherical": (_sph_fwd, _sph_bwd),
+        "plane": (_plane_fwd, _plane_bwd),
+        "cylindrical": (_cyl_fwd, _cyl_bwd),
+        "fisheye": (_fish_fwd, _fish_bwd),
+        "stereographic": (_stereo_fwd, _stereo_bwd),
+        "compressedPlaneA2B1": comp2,
+        "compressedPlaneA1.5B1": comp15,
+        "compressedPlanePortraitA2B1": _portrait(*comp2),
+        "compressedPlanePortraitA1.5B1": _portrait(*comp15),
+        "paniniA2B1": pan2,
+        "paniniA1.5B1": pan15,
+        "paniniPortraitA2B1": _portrait(*pan2),
+        "paniniPortraitA1.5B1": _portrait(*pan15),
+        "mercator": (_merc_fwd, _merc_bwd),
+        "transverseMercator": (_tmerc_fwd, _tmerc_bwd),
+    }
 
 
-def _comp_bwd(a, b):
-    def bwd(u, v):
-        u_ = a * jnp.arctan2(u, a)
-        lat = b * jnp.arctan2(v * jnp.cos(u_), b)
-        cl = jnp.cos(lat)
-        return cl * jnp.sin(u_), jnp.sin(lat), cl * jnp.cos(u_)
-    return bwd
-
-
-def _pan_fwd(a, b):
-    def fwd(x, y, z):
-        u_ = jnp.arctan2(x, z)
-        tg = a * jnp.tan(u_ / a)
-        rho = jnp.maximum(jnp.sqrt(x * x + z * z), 1e-12)
-        tanv = y / rho
-        sinu = jnp.sin(u_)
-        v = jnp.where(jnp.abs(sinu) < 1e-7,
-                      b * tanv,
-                      b * tg * tanv / jnp.where(
-                          jnp.abs(sinu) < 1e-7, 1.0, sinu))
-        return tg, v
-    return fwd
-
-
-def _pan_bwd(a, b):
-    def bwd(u, v):
-        u_ = a * jnp.arctan2(u, a)
-        sinu = jnp.sin(u_)
-        tanv = jnp.where(jnp.abs(sinu) < 1e-7,
-                         v / b,
-                         v * sinu / (b * jnp.where(
-                             jnp.abs(u) < 1e-12, 1.0, u)))
-        lat = jnp.arctan(tanv)
-        cl = jnp.cos(lat)
-        return cl * jnp.sin(u_), jnp.sin(lat), cl * jnp.cos(u_)
-    return bwd
-
-
-def _merc_fwd(x, y, z):
-    u = jnp.arctan2(x, z)
-    rho = jnp.maximum(jnp.sqrt(x * x + z * z), 1e-12)
-    v = jnp.arcsinh(y / rho)
-    return u, v
-
-
-def _merc_bwd(u, v):
-    lat = jnp.arctan(jnp.sinh(v))
-    cl = jnp.cos(lat)
-    return cl * jnp.sin(u), jnp.sin(lat), cl * jnp.cos(u)
-
-
-def _tmerc_fwd(x, y, z):
-    lon = jnp.arctan2(x, z)
-    r = jnp.sqrt(x * x + y * y + z * z)
-    lat = jnp.arcsin(jnp.clip(y / jnp.maximum(r, 1e-12), -1.0, 1.0))
-    B = jnp.clip(jnp.cos(lat) * jnp.sin(lon), -0.9999999, 0.9999999)
-    u = jnp.arctanh(B)
-    v = jnp.arctan2(jnp.tan(lat), jnp.cos(lon))
-    return u, v
-
-
-def _tmerc_bwd(u, v):
-    lat = jnp.arcsin(jnp.clip(jnp.sin(v) / jnp.cosh(u), -1.0, 1.0))
-    lon = jnp.arctan2(jnp.sinh(u), jnp.cos(v))
-    cl = jnp.cos(lat)
-    return cl * jnp.sin(lon), jnp.sin(lat), cl * jnp.cos(lon)
-
-
-def _portrait(fwd, bwd):
-    """Portrait variant: swap x<->y in the ray, negate u (oracle-verified)."""
-    def pfwd(x, y, z):
-        u, v = fwd(y, x, z)
-        return -u, v
-
-    def pbwd(u, v):
-        x, y, z = bwd(-u, v)
-        return y, x, z
-    return pfwd, pbwd
-
-
-_COMP2 = (_comp_fwd(2.0, 1.0), _comp_bwd(2.0, 1.0))
-_COMP15 = (_comp_fwd(1.5, 1.0), _comp_bwd(1.5, 1.0))
-_PAN2 = (_pan_fwd(2.0, 1.0), _pan_bwd(2.0, 1.0))
-_PAN15 = (_pan_fwd(1.5, 1.0), _pan_bwd(1.5, 1.0))
-
-PROJECTORS = {
-    "spherical": (_sph_fwd, _sph_bwd),
-    "plane": (_plane_fwd, _plane_bwd),
-    "cylindrical": (_cyl_fwd, _cyl_bwd),
-    "fisheye": (_fish_fwd, _fish_bwd),
-    "stereographic": (_stereo_fwd, _stereo_bwd),
-    "compressedPlaneA2B1": _COMP2,
-    "compressedPlaneA1.5B1": _COMP15,
-    "compressedPlanePortraitA2B1": _portrait(*_COMP2),
-    "compressedPlanePortraitA1.5B1": _portrait(*_COMP15),
-    "paniniA2B1": _PAN2,
-    "paniniA1.5B1": _PAN15,
-    "paniniPortraitA2B1": _portrait(*_PAN2),
-    "paniniPortraitA1.5B1": _portrait(*_PAN15),
-    "mercator": (_merc_fwd, _merc_bwd),
-    "transverseMercator": (_tmerc_fwd, _tmerc_bwd),
-}
+PROJECTORS = _build_projectors(jnp)
+PROJECTORS_NP = _build_projectors(np)
 
 WARP_TYPES = ("affine",) + tuple(PROJECTORS.keys())
 
@@ -241,13 +233,13 @@ def warp_points(pts, K, R, scale, warper_type):
         ph = np.concatenate([pts, np.ones((len(pts), 1))], 1)
         q = ph @ T.T
         return (q[:, :2] * scale).astype(np.float32)
-    fwd, _ = PROJECTORS[warper_type]
+    fwd, _ = PROJECTORS_NP[warper_type]
     r_kinv = R @ np.linalg.inv(K)
     ph = np.concatenate([pts, np.ones((len(pts), 1))], 1)
     ray = ph @ r_kinv.T
-    u, v = fwd(jnp.asarray(ray[:, 0]), jnp.asarray(ray[:, 1]),
-               jnp.asarray(ray[:, 2]))
-    return np.stack([np.asarray(u), np.asarray(v)], -1) * scale
+    u, v = fwd(ray[:, 0], ray[:, 1], ray[:, 2])
+    return (np.stack([np.asarray(u), np.asarray(v)], -1)
+            * scale).astype(np.float32)
 
 
 def warp_roi(size_wh, K, R, scale, warper_type):

@@ -80,14 +80,24 @@ class DeviceStack:
         return np.asarray(self.data[i, :h, :w])
 
 
+@jax.jit
+def _to_f32(x):
+    return x.astype(jnp.float32)
+
+
 def stack_images(imgs, mesh=None):
-    """Upload a list of HxW[xC] uint8/float images as one padded stack."""
+    """Upload a list of HxW[xC] uint8/float images as one padded stack.
+
+    uint8 inputs transfer as uint8 (4x less host->device traffic) and
+    widen to float32 on device.
+    """
     arrs = [np.asarray(im) for im in imgs]
     chans = 3 if any(a.ndim == 3 for a in arrs) else 1
     hp = _round_up(max(a.shape[0] for a in arrs))
     wp = _round_up(max(a.shape[1] for a in arrs))
     b = pad_batch(len(arrs), mesh)
-    out = np.zeros((b, hp, wp, chans), np.float32)
+    u8 = all(a.dtype == np.uint8 for a in arrs)
+    out = np.zeros((b, hp, wp, chans), np.uint8 if u8 else np.float32)
     sizes = np.ones((b, 2), np.int32)
     for i, a in enumerate(arrs):
         if a.ndim == 2:
@@ -100,7 +110,10 @@ def stack_images(imgs, mesh=None):
         out[i, h:, :w] = out[i, h - 1: h, :w]
         out[i, :, w:] = out[i, :, w - 1: w]
         sizes[i] = (w, h)
-    return DeviceStack(_shard_batch(jnp.asarray(out), mesh), sizes)
+    data = _shard_batch(jnp.asarray(out), mesh)
+    if u8:
+        data = _to_f32(data)
+    return DeviceStack(data, sizes)
 
 
 @partial(jax.jit, static_argnames=("oh", "ow"))

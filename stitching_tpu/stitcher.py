@@ -1,18 +1,23 @@
-"""End-to-end stitching orchestration.
+"""Public stitching API: `Stitcher` / `AffineStitcher`.
 
-Parity: reference `stitching/stitcher.py:1-287` — the 20-key
-DEFAULT_SETTINGS schema (:22-48), component construction (:53-89, including
-the ORB match_conf default resolution and nfeatures forwarding), the
-three-resolution pipeline `stitch()` (:94-128: MEDIUM registration, LOW
-seam/exposure planning, FINAL compositing with lazy per-image generators),
-the strictly-sequential mask-index protocol (:227-239), kwarg validation
-(:261-264), and `AffineStitcher` overrides with the affine-default override
-warning (:267-287).
+A thin configuration facade over the batched engine (`engine.py`): this
+class owns the settings schema and builds the per-stage components; the
+actual pipeline is `engine.run` — registration, composition planning, and
+device-resident compositing as pure staged functions over image stacks.
+
+Contract parity with the reference (`stitching/stitcher.py`): the settings
+schema (20 reference keys plus TPU-build extras), unknown-kwarg
+`StitchingError`, the ORB match_conf default resolution and nfeatures
+forwarding, resolution semantics (MEDIUM registration / LOW planning /
+FINAL compositing), and `AffineStitcher`'s affine defaults with the
+override warning. The architecture is deliberately different: no per-stage
+methods or lazy per-image generators — stages live in `engine.py` and
+operate on batched device arrays.
 """
 
 import warnings
-from types import SimpleNamespace
 
+from . import engine
 from .blender import Blender
 from .camera_adjuster import CameraAdjuster
 from .camera_estimator import CameraEstimator
@@ -62,224 +67,48 @@ class Stitcher:
         self.initialize_stitcher(**kwargs)
 
     def initialize_stitcher(self, **kwargs):
-        self.settings = self.DEFAULT_SETTINGS.copy()
         self.validate_kwargs(kwargs)
         self.kwargs = kwargs
-        self.settings.update(kwargs)
+        self.settings = {**self.DEFAULT_SETTINGS, **kwargs}
+        self._build_components(self.settings)
 
-        args = SimpleNamespace(**self.settings)
-        self.medium_megapix = args.medium_megapix
-        self.low_megapix = args.low_megapix
-        self.final_megapix = args.final_megapix
-        if args.detector in ("orb", "sift"):
-            self.detector = FeatureDetector(
-                args.detector, nfeatures=args.nfeatures)
-        else:
-            self.detector = FeatureDetector(args.detector)
-        match_conf = FeatureMatcher.get_match_conf(
-            args.match_conf, args.detector)
+    def _build_components(self, s):
+        """Construct the per-stage components from the resolved settings."""
+        self.medium_megapix = s["medium_megapix"]
+        self.low_megapix = s["low_megapix"]
+        self.final_megapix = s["final_megapix"]
+
+        detector_kwargs = (
+            {"nfeatures": s["nfeatures"]}
+            if s["detector"] in ("orb", "sift") else {})
+        self.detector = FeatureDetector(s["detector"], **detector_kwargs)
         self.matcher = FeatureMatcher(
-            args.matcher_type,
-            args.range_width,
-            try_use_gpu=args.try_use_gpu,
-            match_conf=match_conf,
-        )
+            s["matcher_type"], s["range_width"],
+            try_use_gpu=s["try_use_gpu"],
+            match_conf=FeatureMatcher.get_match_conf(
+                s["match_conf"], s["detector"]))
         self.subsetter = Subsetter(
-            args.confidence_threshold, args.matches_graph_dot_file)
-        self.camera_estimator = CameraEstimator(args.estimator)
+            s["confidence_threshold"], s["matches_graph_dot_file"])
+        self.camera_estimator = CameraEstimator(s["estimator"])
         self.camera_adjuster = CameraAdjuster(
-            args.adjuster, args.refinement_mask, args.confidence_threshold)
-        self.wave_corrector = WaveCorrector(args.wave_correct_kind)
-        self.warper = Warper(args.warper_type)
-        self.cropper = Cropper(args.crop)
+            s["adjuster"], s["refinement_mask"], s["confidence_threshold"])
+        self.wave_corrector = WaveCorrector(s["wave_correct_kind"])
+        self.warper = Warper(s["warper_type"])
+        self.cropper = Cropper(s["crop"])
         self.compensator = ExposureErrorCompensator(
-            args.compensator, args.nr_feeds, args.block_size)
-        self.seam_finder = SeamFinder(args.finder)
-        self.blender = Blender(args.blender_type, args.blend_strength)
-        self.timelapser = Timelapser(args.timelapse, args.timelapse_prefix)
+            s["compensator"], s["nr_feeds"], s["block_size"])
+        self.seam_finder = SeamFinder(s["finder"])
+        self.blender = Blender(s["blender_type"], s["blend_strength"])
+        self.timelapser = Timelapser(s["timelapse"], s["timelapse_prefix"])
+
+    def stitch(self, images, feature_masks=[]):
+        """Stitch the image set into a panorama (or timelapse frames)."""
+        return engine.run(self, images, feature_masks)
 
     def stitch_verbose(self, images, feature_masks=[], verbose_dir=None):
         from .verbose import verbose_stitching
 
         return verbose_stitching(self, images, feature_masks, verbose_dir)
-
-    def stitch(self, images, feature_masks=[]):
-        from . import profiling as prof
-
-        self.images = Images.of(
-            images, self.medium_megapix, self.low_megapix, self.final_megapix)
-
-        with prof.stage_timer("registration/resize_medium"):
-            imgs = self.resize_medium_resolution()
-        with prof.stage_timer("registration/detect"):
-            features = self.find_features(imgs, feature_masks)
-        with prof.stage_timer("registration/match"):
-            matches = self.match_features(features)
-        with prof.stage_timer("registration/subset"):
-            imgs, features, matches = self.subset(imgs, features, matches)
-        with prof.stage_timer("registration/estimate"):
-            cameras = self.estimate_camera_parameters(features, matches)
-        with prof.stage_timer("registration/bundle_adjust"):
-            cameras = self.refine_camera_parameters(
-                features, matches, cameras)
-        with prof.stage_timer("registration/wave_correct"):
-            cameras = self.perform_wave_correction(cameras)
-        self.estimate_scale(cameras)
-
-        with prof.stage_timer("low/resize+warp"):
-            imgs = self.resize_low_resolution(imgs)
-            imgs, masks, corners, sizes = self.warp_low_resolution(
-                imgs, cameras)
-        with prof.stage_timer("low/crop"):
-            self.prepare_cropper(imgs, masks, corners, sizes)
-            imgs, masks, corners, sizes = self.crop_low_resolution(
-                imgs, masks, corners, sizes)
-        with prof.stage_timer("low/exposure_feed"):
-            self.estimate_exposure_errors(corners, imgs, masks)
-        with prof.stage_timer("low/seam_find"):
-            seam_masks = self.find_seam_masks(imgs, corners, masks)
-
-        with prof.stage_timer("final/warp+crop"):
-            imgs = self.resize_final_resolution()
-            imgs, masks, corners, sizes = self.warp_final_resolution(
-                imgs, cameras)
-            imgs, masks, corners, sizes = self.crop_final_resolution(
-                imgs, masks, corners, sizes)
-        self.set_masks(masks)
-        imgs = self.compensate_exposure_errors(corners, imgs)
-        seam_masks = self.resize_seam_masks(seam_masks)
-
-        with prof.stage_timer("final/compose"):
-            self.initialize_composition(corners, sizes)
-            self.blend_images(imgs, seam_masks, corners)
-            return self.create_final_panorama()
-
-    def resize_medium_resolution(self):
-        return list(self.images.resize(Images.Resolution.MEDIUM))
-
-    def find_features(self, imgs, feature_masks=[]):
-        if len(feature_masks) == 0:
-            return self.detector.detect(imgs)
-        feature_masks = Images.of(
-            feature_masks, self.medium_megapix, self.low_megapix,
-            self.final_megapix)
-        feature_masks = list(feature_masks.resize(Images.Resolution.MEDIUM))
-        feature_masks = [Images.to_binary(mask) for mask in feature_masks]
-        return self.detector.detect_with_masks(imgs, feature_masks)
-
-    def match_features(self, features):
-        return self.matcher.match_features(features)
-
-    def subset(self, imgs, features, matches):
-        indices = self.subsetter.subset(self.images.names, features, matches)
-        imgs = Subsetter.subset_list(imgs, indices)
-        features = Subsetter.subset_list(features, indices)
-        matches = Subsetter.subset_matches(matches, indices)
-        self.images.subset(indices)
-        return imgs, features, matches
-
-    def estimate_camera_parameters(self, features, matches):
-        return self.camera_estimator.estimate(features, matches)
-
-    def refine_camera_parameters(self, features, matches, cameras):
-        return self.camera_adjuster.adjust(features, matches, cameras)
-
-    def perform_wave_correction(self, cameras):
-        return self.wave_corrector.correct(cameras)
-
-    def estimate_scale(self, cameras):
-        self.warper.set_scale(cameras)
-
-    def resize_low_resolution(self, imgs=None):
-        return list(self.images.resize(Images.Resolution.LOW, imgs))
-
-    def warp_low_resolution(self, imgs, cameras):
-        sizes = self.images.get_scaled_img_sizes(Images.Resolution.LOW)
-        camera_aspect = self.images.get_ratio(
-            Images.Resolution.MEDIUM, Images.Resolution.LOW)
-        imgs, masks, corners, sizes = self.warp(
-            imgs, cameras, sizes, camera_aspect)
-        return list(imgs), list(masks), corners, sizes
-
-    def warp_final_resolution(self, imgs, cameras):
-        sizes = self.images.get_scaled_img_sizes(Images.Resolution.FINAL)
-        camera_aspect = self.images.get_ratio(
-            Images.Resolution.MEDIUM, Images.Resolution.FINAL)
-        return self.warp(imgs, cameras, sizes, camera_aspect)
-
-    def warp(self, imgs, cameras, sizes, aspect=1):
-        imgs = self.warper.warp_images(imgs, cameras, aspect)
-        masks = self.warper.create_and_warp_masks(sizes, cameras, aspect)
-        corners, sizes = self.warper.warp_rois(sizes, cameras, aspect)
-        return imgs, masks, corners, sizes
-
-    def prepare_cropper(self, imgs, masks, corners, sizes):
-        self.cropper.prepare(imgs, masks, corners, sizes)
-
-    def crop_low_resolution(self, imgs, masks, corners, sizes):
-        imgs, masks, corners, sizes = self.crop(imgs, masks, corners, sizes)
-        return list(imgs), list(masks), corners, sizes
-
-    def crop_final_resolution(self, imgs, masks, corners, sizes):
-        lir_aspect = self.images.get_ratio(
-            Images.Resolution.LOW, Images.Resolution.FINAL)
-        return self.crop(imgs, masks, corners, sizes, lir_aspect)
-
-    def crop(self, imgs, masks, corners, sizes, aspect=1):
-        masks = self.cropper.crop_images(masks, aspect)
-        imgs = self.cropper.crop_images(imgs, aspect)
-        corners, sizes = self.cropper.crop_rois(corners, sizes, aspect)
-        return imgs, masks, corners, sizes
-
-    def estimate_exposure_errors(self, corners, imgs, masks):
-        self.compensator.feed(corners, imgs, masks)
-
-    def find_seam_masks(self, imgs, corners, masks):
-        return self.seam_finder.find(imgs, corners, masks)
-
-    def resize_final_resolution(self):
-        return self.images.resize(Images.Resolution.FINAL)
-
-    def compensate_exposure_errors(self, corners, imgs):
-        for idx, (corner, img) in enumerate(zip(corners, imgs)):
-            yield self.compensator.apply(idx, corner, img, self.get_mask(idx))
-
-    def resize_seam_masks(self, seam_masks):
-        for idx, seam_mask in enumerate(seam_masks):
-            yield SeamFinder.resize(seam_mask, self.get_mask(idx))
-
-    def set_masks(self, mask_generator):
-        self.masks = mask_generator
-        self.mask_index = -1
-
-    def get_mask(self, idx):
-        if idx == self.mask_index + 1:
-            self.mask_index += 1
-            self.mask = next(self.masks)
-            return self.mask
-        elif idx == self.mask_index:
-            return self.mask
-        else:
-            raise StitchingError("Invalid Mask Index!")
-
-    def initialize_composition(self, corners, sizes):
-        if self.timelapser.do_timelapse:
-            self.timelapser.initialize(corners, sizes)
-        else:
-            self.blender.prepare(corners, sizes)
-
-    def blend_images(self, imgs, masks, corners):
-        for idx, (img, mask, corner) in enumerate(zip(imgs, masks, corners)):
-            if self.timelapser.do_timelapse:
-                self.timelapser.process_and_save_frame(
-                    self.images.names[idx], img, corner)
-            else:
-                self.blender.feed(img, mask, corner)
-
-    def create_final_panorama(self):
-        if not self.timelapser.do_timelapse:
-            panorama, _ = self.blender.blend()
-            return panorama
 
     def validate_kwargs(self, kwargs):
         for arg in kwargs:
@@ -297,14 +126,16 @@ class AffineStitcher(Stitcher):
         "compensator": "no",
     }
 
-    DEFAULT_SETTINGS = Stitcher.DEFAULT_SETTINGS.copy()
-    DEFAULT_SETTINGS.update(AFFINE_DEFAULTS)
+    DEFAULT_SETTINGS = {**Stitcher.DEFAULT_SETTINGS, **AFFINE_DEFAULTS}
 
     def initialize_stitcher(self, **kwargs):
         for key, value in kwargs.items():
-            if key in self.AFFINE_DEFAULTS and value != self.AFFINE_DEFAULTS[key]:
+            if (key in self.AFFINE_DEFAULTS
+                    and value != self.AFFINE_DEFAULTS[key]):
                 warnings.warn(
-                    f"You are overwriting an affine default ({key}={self.AFFINE_DEFAULTS[key]}) with another value ({value}). Make sure this is intended",  # noqa: E501
+                    f"You are overwriting an affine default "
+                    f"({key}={self.AFFINE_DEFAULTS[key]}) with another "
+                    f"value ({value}). Make sure this is intended",
                     StitchingWarning,
                 )
         super().initialize_stitcher(**kwargs)

@@ -32,7 +32,15 @@ def verbose_stitching(stitcher, images, feature_masks=[], verbose_dir=None):
 
     # Find Features
     finder = stitcher.detector
-    features = stitcher.find_features(imgs, feature_masks)
+    if len(feature_masks) == 0:
+        features = finder.detect(imgs)
+    else:
+        mask_objs = Images.of(
+            list(feature_masks), stitcher.medium_megapix,
+            stitcher.low_megapix, stitcher.final_megapix)
+        masks = [Images.to_binary(m)
+                 for m in mask_objs.resize(Images.Resolution.MEDIUM)]
+        features = finder.detect_with_masks(imgs, masks)
     for idx, img_features in enumerate(features):
         img_with_features = finder.draw_keypoints(imgs[idx], img_features)
         write_verbose_result(

@@ -1,11 +1,13 @@
-"""Warper component: project images/masks/ROIs onto the compositing surface.
+"""Warper component: project images/masks/ROIs onto a compositing surface.
 
-Parity: reference `stitching/warper.py:1-94` — the 16-surface registry,
-`set_scale` = median camera focal (:35-37), `warp_image` with bilinear +
-reflect borders (:43-52), `create_and_warp_mask` with nearest + constant
-(:58-68), `warp_rois` (:70-82), and the `get_K` aspect correction (:84-94)
-for warping at a resolution different from registration. The projection math
-and remap kernels live in `ops/warp.py` (oracle-verified).
+Fulfills the reference's `stitching/warper.py` contract: the 16-surface
+registry, canvas scale = median camera focal, bilinear+reflect image warps
+vs nearest+constant mask warps, `warpRoi` corner/size planning, and the
+`get_K` aspect correction for warping at a resolution different from the
+registration one. All projection math is TPU-native in `ops/warp.py`
+(oracle-verified per surface in tests/test_warper.py); the batched engine
+warps whole stacks in one dispatch via `compose.warp_stack`, while the
+per-image methods here serve component-level use (verbose mode, tutorials).
 """
 
 from statistics import median
@@ -15,27 +17,16 @@ import numpy as np
 from .errors import StitchingError
 from .ops import warp as warp_ops
 
+# (interp, border) per payload kind — the reference's warp flag pairs
+# (stitching/warper.py:48-50 for images, :65-66 for masks).
+_PAYLOAD_MODES = {
+    "image": ("linear", "reflect"),
+    "mask": ("nearest", "constant"),
+}
+
 
 class Warper:
-    WARP_TYPE_CHOICES = (
-        "spherical",
-        "plane",
-        "affine",
-        "cylindrical",
-        "fisheye",
-        "stereographic",
-        "compressedPlaneA2B1",
-        "compressedPlaneA1.5B1",
-        "compressedPlanePortraitA2B1",
-        "compressedPlanePortraitA1.5B1",
-        "paniniA2B1",
-        "paniniA1.5B1",
-        "paniniPortraitA2B1",
-        "paniniPortraitA1.5B1",
-        "mercator",
-        "transverseMercator",
-    )
-
+    WARP_TYPE_CHOICES = warp_ops.WARP_TYPES
     DEFAULT_WARP_TYPE = "spherical"
 
     def __init__(self, warper_type=DEFAULT_WARP_TYPE):
@@ -45,53 +36,51 @@ class Warper:
         self.scale = None
 
     def set_scale(self, cameras):
-        focals = [cam.focal for cam in cameras]
-        self.scale = median(focals)
+        """Canvas scale = median focal over the adjusted cameras."""
+        self.scale = median(cam.focal for cam in cameras)
 
-    def warp_images(self, imgs, cameras, aspect=1):
-        for img, camera in zip(imgs, cameras):
-            yield self.warp_image(img, camera, aspect)
+    # -- single-payload warps (component-level / verbose use) --------------
+
+    def _warp(self, payload, camera, aspect, kind):
+        interp, border = _PAYLOAD_MODES[kind]
+        _, warped = warp_ops.warp_image(
+            payload, self.get_K(camera, aspect), camera.R,
+            self.scale * aspect, self.warper_type,
+            interp=interp, border=border)
+        return warped
 
     def warp_image(self, img, camera, aspect=1):
-        _, warped = warp_ops.warp_image(
-            img, Warper.get_K(camera, aspect), camera.R,
-            self.scale * aspect, self.warper_type,
-            interp="linear", border="reflect")
-        return warped
-
-    def create_and_warp_masks(self, sizes, cameras, aspect=1):
-        for size, camera in zip(sizes, cameras):
-            yield self.create_and_warp_mask(size, camera, aspect)
+        return self._warp(img, camera, aspect, "image")
 
     def create_and_warp_mask(self, size, camera, aspect=1):
-        mask = 255 * np.ones((size[1], size[0]), np.uint8)
-        _, warped = warp_ops.warp_image(
-            mask, Warper.get_K(camera, aspect), camera.R,
-            self.scale * aspect, self.warper_type,
-            interp="nearest", border="constant")
-        return warped
-
-    def warp_rois(self, sizes, cameras, aspect=1):
-        roi_corners = []
-        roi_sizes = []
-        for size, camera in zip(sizes, cameras):
-            corner, sz = self.warp_roi(size, camera, aspect)
-            roi_corners.append(corner)
-            roi_sizes.append(sz)
-        return roi_corners, roi_sizes
+        full = np.full((size[1], size[0]), 255, np.uint8)
+        return self._warp(full, camera, aspect, "mask")
 
     def warp_roi(self, size, camera, aspect=1):
         return warp_ops.warp_roi(
-            size, Warper.get_K(camera, aspect), camera.R,
+            size, self.get_K(camera, aspect), camera.R,
             self.scale * aspect, self.warper_type)
+
+    # -- list conveniences ---------------------------------------------------
+
+    def warp_images(self, imgs, cameras, aspect=1):
+        return (self.warp_image(img, cam, aspect)
+                for img, cam in zip(imgs, cameras))
+
+    def create_and_warp_masks(self, sizes, cameras, aspect=1):
+        return (self.create_and_warp_mask(size, cam, aspect)
+                for size, cam in zip(sizes, cameras))
+
+    def warp_rois(self, sizes, cameras, aspect=1):
+        rois = [self.warp_roi(size, cam, aspect)
+                for size, cam in zip(sizes, cameras)]
+        return [r[0] for r in rois], [r[1] for r in rois]
 
     @staticmethod
     def get_K(camera, aspect=1):
-        """Intrinsics rescaled when warping at a different resolution than
-        the one registration ran at (reference warper.py:84-94)."""
+        """Intrinsics rescaled for warping at `aspect` times the
+        registration resolution (reference warper.py:84-94)."""
         K = camera.K().astype(np.float32)
-        K[0, 0] *= aspect
-        K[0, 2] *= aspect
-        K[1, 1] *= aspect
-        K[1, 2] *= aspect
+        K[:2] *= np.float32(aspect)
+        K[2, 2] = 1.0
         return K
