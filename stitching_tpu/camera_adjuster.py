@@ -32,6 +32,7 @@ class CameraAdjuster:
     )
     DEFAULT_CAMERA_ADJUSTER = list(CAMERA_ADJUSTER_CHOICES.keys())[0]
     DEFAULT_REFINEMENT_MASK = "xxxxx"
+    mesh = None  # optional Mesh: shards the bundle-edge axis (engine sets)
 
     def __init__(
         self,
@@ -75,8 +76,11 @@ class CameraAdjuster:
             return None
 
         # bucket the edge axis (padded edges carry w=0 and contribute
-        # nothing) so the jitted LM engine compiles once per bucket
-        E = -(-len(edges) // 4) * 4
+        # nothing) so the jitted LM engine compiles once per bucket; under a
+        # mesh the bucket must also divide across the devices
+        unit = 4 if self.mesh is None else int(np.lcm(
+            4, int(self.mesh.devices.size)))
+        E = -(-len(edges) // unit) * unit
         pts_src = np.zeros((E, _MATCH_CAP, 2), np.float32)
         pts_dst = np.zeros((E, _MATCH_CAP, 2), np.float32)
         w = np.zeros((E, _MATCH_CAP), np.float32)
@@ -127,7 +131,8 @@ class CameraAdjuster:
                 im["focal"], im["ppx"], im["ppy"], im["aspect"],
                 True, True, True,
             ])
-        full, _ = solve_bundle(problem, self.adjuster, param_mask, params0)
+        full, _ = solve_bundle(problem, self.adjuster, param_mask, params0,
+                               mesh=self.mesh)
         if not np.all(np.isfinite(full)):
             return None
 
@@ -152,7 +157,8 @@ class CameraAdjuster:
             params0[i] = [A[0, 0], A[1, 0], A[0, 2], A[1, 2]]
 
         param_mask = np.array([True] * 4)
-        full, _ = solve_bundle(problem, "affine", param_mask, params0)
+        full, _ = solve_bundle(problem, "affine", param_mask, params0,
+                               mesh=self.mesh)
         if not np.all(np.isfinite(full)):
             return None
 

@@ -26,6 +26,7 @@ compilations, amortized across runs by the persistent compilation cache.
 """
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -189,7 +190,8 @@ def warp_stack(data, src_sizes, Ks, Rs, scale, warper_type) -> TileStack:
                      else K64 @ np.linalg.inv(R64))
     tls = np.zeros((b, 2), np.float32)
     tls[:n] = corners
-    dsz = np.ones((b, 2), np.int32)
+    # padded batch slots (mesh-size padding) get a zero ROI -> all-zero mask
+    dsz = np.zeros((b, 2), np.int32)
     dsz[:n] = dsizes
     ssz = np.asarray(src_sizes, np.int32)
     tiles, masks = _warp_stack_kernel(
@@ -221,6 +223,7 @@ def slice_stack(stack: TileStack, rects) -> TileStack:
     rects = [tuple(r) for r in rects]
     n = len(rects)
     b = stack.data.shape[0]
+    rects = rects + [(0, 0, 1, 1)] * (b - n)  # padded batch slots
     ch = _round_up(max(r[3] for r in rects))
     cw = _round_up(max(r[2] for r in rects))
     ch = min(ch, int(stack.data.shape[1]))
@@ -233,7 +236,7 @@ def slice_stack(stack: TileStack, rects) -> TileStack:
         xy[i, 1] = min(r[1], stack.data.shape[1] - ch)
     tiles, masks = _slice_stack_kernel(
         stack.data, stack.masks, jnp.asarray(xy), ch=ch, cw=cw)
-    sizes = np.asarray([(r[2], r[3]) for r in rects], np.int64)
+    sizes = np.asarray([(r[2], r[3]) for r in rects[:n]], np.int64)
     return TileStack(tiles, masks, np.asarray(stack.corners), sizes)
 
 
@@ -406,24 +409,30 @@ def _canvas_roi(corners, sizes):
     return tl, (int(x2.max()) - tl[0], int(y2.max()) - tl[1])
 
 
-@partial(jax.jit, static_argnames=("nb", "wh", "ww", "ph", "pw"))
-def _mb_blend_kernel(tiles, seams, offs, shifts, sizes, *, nb, wh, ww,
-                     ph, pw):
-    """Multiband blend of the whole stack in one program.
+def _vary(x, axis):
+    """Mark an accumulator as varying over the shard_map axis (scan carries
+    must match the varying-ness of the scanned inputs)."""
+    if axis is None:
+        return x
+    return jax.lax.pcast(x, (axis,), to="varying")
+
+
+def _mb_feed_scan(tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
+                  vary_axis=None):
+    """Scan the (local) tile batch into multiband accumulators.
 
     tiles: (B, TH, TW, C); seams: (B, TH, TW) f32; offs: (B, 2) int32
     pyramid-aligned canvas offsets (x, y) of each window; shifts: (B, 2)
     int32 tile-origin offset inside its window; sizes: (B, 2) int32 true
-    (w, h). Returns (pano (ph, pw, C) f32, weight (ph, pw) f32).
+    (w, h). Returns (band_acc, band_w) tuples of per-level canvases.
     """
-    from .ops.pyramid import (build_gaussian, build_laplacian,
-                              collapse_laplacian)
+    from .ops.pyramid import build_gaussian, build_laplacian
 
     C = tiles.shape[-1]
-    band_acc = tuple(jnp.zeros((ph >> l, pw >> l, C), jnp.float32)
-                     for l in range(nb + 1))
-    band_w = tuple(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32)
-                   for l in range(nb + 1))
+    band_acc = tuple(_vary(jnp.zeros((ph >> l, pw >> l, C), jnp.float32),
+                           vary_axis) for l in range(nb + 1))
+    band_w = tuple(_vary(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32),
+                         vary_axis) for l in range(nb + 1))
 
     def reflect(i, n):
         period = 2 * n
@@ -469,18 +478,16 @@ def _mb_blend_kernel(tiles, seams, offs, shifts, sizes, *, nb, wh, ww,
 
     (band_acc, band_w), _ = jax.lax.scan(
         feed, (band_acc, band_w), (tiles, seams, offs, shifts, sizes))
-    laps = [band_acc[l] / (band_w[l] + 1e-5) for l in range(nb + 1)]
-    out = collapse_laplacian(laps)
-    return out, band_w[0][..., 0]
+    return band_acc, band_w
 
 
-@partial(jax.jit, static_argnames=("ph", "pw"))
-def _feather_blend_kernel(tiles, seams, offs, sizes, sharpness, *, ph, pw):
+def _feather_feed_scan(tiles, seams, offs, sizes, sharpness, ph, pw,
+                       vary_axis=None):
     from .ops.blend import distance_transform_l1
 
     C = tiles.shape[-1]
-    acc = jnp.zeros((ph, pw, C), jnp.float32)
-    wsum = jnp.zeros((ph, pw), jnp.float32)
+    acc = _vary(jnp.zeros((ph, pw, C), jnp.float32), vary_axis)
+    wsum = _vary(jnp.zeros((ph, pw), jnp.float32), vary_axis)
     TH, TW = tiles.shape[1], tiles.shape[2]
 
     def feed(carry, x):
@@ -501,15 +508,13 @@ def _feather_blend_kernel(tiles, seams, offs, sizes, sharpness, *, ph, pw):
 
     (acc, wsum), _ = jax.lax.scan(feed, (acc, wsum),
                                   (tiles, seams, offs, sizes))
-    out = acc / jnp.maximum(wsum[..., None], 1e-5)
-    return out, wsum
+    return acc, wsum
 
 
-@partial(jax.jit, static_argnames=("ph", "pw"))
-def _paste_blend_kernel(tiles, seams, offs, sizes, *, ph, pw):
+def _paste_feed_scan(tiles, seams, offs, sizes, ph, pw, vary_axis=None):
     C = tiles.shape[-1]
-    canvas = jnp.zeros((ph, pw, C), jnp.float32)
-    cmask = jnp.zeros((ph, pw), jnp.float32)
+    canvas = _vary(jnp.zeros((ph, pw, C), jnp.float32), vary_axis)
+    cmask = _vary(jnp.zeros((ph, pw), jnp.float32), vary_axis)
     TH, TW = tiles.shape[1], tiles.shape[2]
 
     def feed(carry, x):
@@ -533,17 +538,82 @@ def _paste_blend_kernel(tiles, seams, offs, sizes, *, ph, pw):
     return canvas, cmask
 
 
+@functools.lru_cache(maxsize=64)
+def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
+    """Build (and cache) the jitted blend program for one canvas geometry.
+
+    With a mesh, the feed-scan runs under shard_map over the batch axis:
+    each device scans its local tiles into full-size local accumulators
+    which merge with one psum (multiband/feather are additive; the paste
+    composite merges with pmax — seam masks are disjoint, so ownership is
+    preserved). Without a mesh it is the same scan, unsharded.
+    """
+    from .ops.pyramid import collapse_laplacian
+
+    def collapse_mb(band_acc, band_w):
+        laps = [band_acc[lv] / (band_w[lv] + 1e-5) for lv in range(nb + 1)]
+        return collapse_laplacian(laps), band_w[0][..., 0]
+
+    if mesh is None:
+        if kind == "multiband":
+            def prog(tiles, seams, offs, shifts, sizes, sharpness):
+                return collapse_mb(*_mb_feed_scan(
+                    tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw))
+        elif kind == "feather":
+            def prog(tiles, seams, offs, shifts, sizes, sharpness):
+                acc, wsum = _feather_feed_scan(
+                    tiles, seams, offs, sizes, sharpness, ph, pw)
+                return acc / jnp.maximum(wsum[..., None], 1e-5), wsum
+        else:
+            def prog(tiles, seams, offs, shifts, sizes, sharpness):
+                return _paste_feed_scan(tiles, seams, offs, sizes, ph, pw)
+        return jax.jit(prog)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sh = (P(axis), P(axis), P(axis), P(axis), P(axis), P())
+
+    if kind == "multiband":
+        def local(tiles, seams, offs, shifts, sizes, sharpness):
+            acc, wacc = _mb_feed_scan(
+                tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
+                vary_axis=axis)
+            acc = tuple(jax.lax.psum(a, axis) for a in acc)
+            wacc = tuple(jax.lax.psum(w, axis) for w in wacc)
+            return collapse_mb(acc, wacc)
+    elif kind == "feather":
+        def local(tiles, seams, offs, shifts, sizes, sharpness):
+            acc, wsum = _feather_feed_scan(
+                tiles, seams, offs, sizes, sharpness, ph, pw,
+                vary_axis=axis)
+            acc = jax.lax.psum(acc, axis)
+            wsum = jax.lax.psum(wsum, axis)
+            return acc / jnp.maximum(wsum[..., None], 1e-5), wsum
+    else:
+        def local(tiles, seams, offs, shifts, sizes, sharpness):
+            canvas, cmask = _paste_feed_scan(
+                tiles, seams, offs, sizes, ph, pw, vary_axis=axis)
+            return jax.lax.pmax(canvas, axis), jax.lax.pmax(cmask, axis)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=sh,
+                             out_specs=(P(), P())))
+
+
 @jax.jit
 def _to_u8(img):
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
 
 
-def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength):
+def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
+                mesh=None):
     """Composite the stack into the final panorama: one jitted feed-scan +
     collapse, one uint8 device->host transfer.
 
     seam_masks: (B, TH, TW) device array (from `resize_seam_masks_stack`)
-    or None (use the stack's warp masks). Returns (pano_u8, mask_u8).
+    or None (use the stack's warp masks). With a mesh, the tile batch is
+    sharded and per-device accumulators merge with one collective.
+    Returns (pano_u8, mask_u8).
     """
     corners = np.asarray(stack.corners)
     sizes = np.asarray(stack.sizes)
@@ -558,43 +628,39 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength):
     # resolve blender kind like the reference (blend_width < 1 -> NO)
     blend_width = np.sqrt(dh * dw) * blend_strength / 100.0
     kind = blender_type if blend_width >= 1 else "no"
+    th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
 
+    nb = 1
+    sharpness = 0.0
+    offs = np.zeros((b, 2), np.int32)
+    shifts = np.zeros((b, 2), np.int32)
     if kind == "multiband":
         # reference num_bands formula (stitching/blender.py:32), clipped
         nb = int(np.clip(int(np.log(blend_width) / np.log(2.0) - 1.0), 1, 8))
         m = 1 << nb
         gap = 3 * m
-        th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
         wh = _round_up(th + 2 * gap + m, max(_BUCKET, m))
         ww = _round_up(twd + 2 * gap + m, max(_BUCKET, m))
         ph = _round_up(dh, m) + wh
         pw = _round_up(dw, m) + ww
-        offs = np.zeros((b, 2), np.int32)
-        shifts = np.zeros((b, 2), np.int32)
         for i in range(n):
-            for a, (c, d) in enumerate(((0, dw), (1, dh))):
+            for a in (0, 1):
                 start = max(corners[i, a] - gap, tl[a])
                 aligned = tl[a] + ((start - tl[a]) // m) * m
                 offs[i, a] = aligned - tl[a]
                 shifts[i, a] = corners[i, a] - aligned
-        pano, wmap = _mb_blend_kernel(
-            stack.data, seam_masks, jnp.asarray(offs), jnp.asarray(shifts),
-            jnp.asarray(szs), nb=nb, wh=wh, ww=ww, ph=ph, pw=pw)
     else:
-        th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
+        wh, ww = th, twd
         ph = dh + th
         pw = dw + twd
-        offs = np.zeros((b, 2), np.int32)
         offs[:n] = corners - np.asarray(tl)[None, :]
         if kind == "feather":
             sharpness = 1.0 / blend_width
-            pano, wmap = _feather_blend_kernel(
-                stack.data, seam_masks, jnp.asarray(offs), jnp.asarray(szs),
-                jnp.float32(sharpness), ph=ph, pw=pw)
-        else:
-            pano, wmap = _paste_blend_kernel(
-                stack.data, seam_masks, jnp.asarray(offs), jnp.asarray(szs),
-                ph=ph, pw=pw)
+
+    prog = _blend_program(kind, nb, wh, ww, ph, pw, mesh)
+    pano, wmap = prog(stack.data, seam_masks, jnp.asarray(offs),
+                      jnp.asarray(shifts), jnp.asarray(szs),
+                      jnp.float32(sharpness))
 
     pano8 = np.asarray(_to_u8(pano[:dh, :dw]))
     mask8 = (np.asarray(wmap[:dh, :dw]) > 1e-5).astype(np.uint8) * 255

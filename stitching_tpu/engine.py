@@ -25,6 +25,7 @@ contracts match the reference (`stitching/stitcher.py:94-128`, `images.py`).
 
 import dataclasses
 
+import jax.numpy as jnp
 import numpy as np
 
 from . import profiling as prof
@@ -63,34 +64,40 @@ class CompositionPlan:
 # Registration
 # ---------------------------------------------------------------------------
 
+def _mesh_of(st):
+    return getattr(st, "mesh", None)
+
+
 def register(st, images, feature_masks=()):
     """MEDIUM-resolution registration: one detect dispatch, one match
     dispatch, then small-tensor camera estimation."""
+    mesh = _mesh_of(st)
     images_obj = Images.of(
         images, st.medium_megapix, st.low_megapix, st.final_megapix)
     with prof.stage_timer("registration/upload"):
         originals = [np.asarray(img) for img in images_obj]
-        stack = stack_images(originals)
+        n = len(originals)
+        stack = stack_images(originals, mesh)
     with prof.stage_timer("registration/resize_medium"):
-        medium = resize_stack(
-            stack, images_obj.get_scaled_img_sizes(Resolution.MEDIUM))
+        medium = resize_stack(stack, _pad_sizes(
+            images_obj.get_scaled_img_sizes(Resolution.MEDIUM),
+            stack.batch))
     with prof.stage_timer("registration/detect"):
-        masks_medium = _prepare_feature_masks(st, feature_masks, medium)
-        features = st.detector.detect_on_stack(medium, masks_medium)
+        masks_medium = _prepare_feature_masks(st, feature_masks, medium, n)
+        features = st.detector.detect_on_stack(medium, masks_medium)[:n]
     with prof.stage_timer("registration/match"):
-        matches = st.matcher.match_features(features)
+        matches = st.matcher.match_features(features, mesh=mesh)
     with prof.stage_timer("registration/subset"):
         indices = st.subsetter.subset(images_obj.names, features, matches)
         features = Subsetter.subset_list(features, indices)
         matches = Subsetter.subset_matches(matches, indices)
         images_obj.subset(indices)
-        if len(indices) < stack.batch:
-            stack = dataclasses.replace(
-                stack, data=stack.data[np.asarray(indices)],
-                sizes=stack.sizes[np.asarray(indices)])
+        if len(indices) < n:
+            stack = _subset_stack(stack, indices, mesh)
     with prof.stage_timer("registration/estimate"):
         cameras = st.camera_estimator.estimate(features, matches)
     with prof.stage_timer("registration/bundle_adjust"):
+        st.camera_adjuster.mesh = mesh
         cameras = st.camera_adjuster.adjust(features, matches, cameras)
     with prof.stage_timer("registration/wave_correct"):
         cameras = st.wave_corrector.correct(cameras)
@@ -99,7 +106,29 @@ def register(st, images, feature_masks=()):
                         st.warper.scale)
 
 
-def _prepare_feature_masks(st, feature_masks, medium_stack):
+def _pad_sizes(sizes, b):
+    out = np.ones((b, 2), np.int32)
+    out[:len(sizes)] = np.asarray(sizes, np.int32)
+    return out
+
+
+def _subset_stack(stack, indices, mesh):
+    """Gather the kept images, re-padding the batch to the mesh size."""
+    from .pipeline import _shard_batch, pad_batch
+
+    idx = list(indices)
+    b2 = pad_batch(len(idx), mesh)
+    idx_full = np.asarray(idx + [idx[-1]] * (b2 - len(idx)))
+    data = stack.data[jnp.asarray(idx_full)] if mesh is None \
+        else _shard_batch(stack.data[jnp.asarray(idx_full)], mesh)
+    sizes = np.ones((b2, 2), stack.sizes.dtype)
+    sizes[:len(idx)] = stack.sizes[np.asarray(idx)]
+    # padded duplicate slots get size (1, 1); every downstream kernel
+    # masks them out via the true-size metadata
+    return dataclasses.replace(stack, data=data, sizes=sizes)
+
+
+def _prepare_feature_masks(st, feature_masks, medium_stack, n):
     """Resize user feature masks to MEDIUM and validate sizes."""
     from .errors import StitchingError
 
@@ -109,7 +138,7 @@ def _prepare_feature_masks(st, feature_masks, medium_stack):
                           st.low_megapix, st.final_megapix)
     masks = [Images.to_binary(m)
              for m in masks_obj.resize(Resolution.MEDIUM)]
-    if len(masks) != len(medium_stack.sizes):
+    if len(masks) != n:
         raise StitchingError("image and mask lists must be of same length")
     for idx, m in enumerate(masks):
         w, h = medium_stack.sizes[idx]
@@ -128,7 +157,7 @@ def warp_resolution(st, reg: Registration, resolution) -> TileStack:
     """Resize the original stack to `resolution` and warp every image onto
     the compositing surface — two dispatches total."""
     sizes = reg.images.get_scaled_img_sizes(resolution)
-    resized = resize_stack(reg.stack, sizes)
+    resized = resize_stack(reg.stack, _pad_sizes(sizes, reg.stack.batch))
     aspect = reg.images.get_ratio(Resolution.MEDIUM, resolution)
     Ks = [Warper.get_K(cam, aspect) for cam in reg.cameras]
     Rs = [cam.R for cam in reg.cameras]
@@ -156,7 +185,7 @@ def plan_composition(st, reg: Registration) -> CompositionPlan:
         low = warp_resolution(st, reg, Resolution.LOW)
     with prof.stage_timer("low/crop"):
         if st.cropper.do_crop:
-            _, pano_mask = blend_stack(low, None, "no", 0)
+            _, pano_mask = blend_stack(low, None, "no", 0, _mesh_of(st))
             st.cropper.prepare_from_mask(
                 pano_mask, [tuple(c) for c in low.corners],
                 [tuple(s) for s in low.sizes])
@@ -203,7 +232,7 @@ def composite(st, reg: Registration, plan: CompositionPlan):
         seams = resize_seam_masks_stack(plan.seam_masks_low, fin)
     with prof.stage_timer("final/blend"):
         pano, _ = blend_stack(fin, seams, st.blender.blender_type,
-                              st.blender.blend_strength)
+                              st.blender.blend_strength, _mesh_of(st))
     return pano
 
 

@@ -61,8 +61,11 @@ class FeatureMatcher:
             return 0.3
         return 0.65
 
-    def match_features(self, features, **kwargs):
-        """All pairs in one batched device program -> flat N x N list."""
+    def match_features(self, features, mesh=None, **kwargs):
+        """All pairs in one batched device program -> flat N x N list.
+
+        With a mesh, the pair axis is sharded across its devices
+        (pair-parallel matching, SURVEY.md §2c)."""
         n = len(features)
         result = [MatchesInfo() for _ in range(n * n)]
 
@@ -78,6 +81,7 @@ class FeatureMatcher:
             match_conf=float(self.match_conf),
             range_width=self.range_width,
             is_binary=features[0].is_binary,
+            mesh=mesh,
         )
 
         for k in range(len(pair_ij)):

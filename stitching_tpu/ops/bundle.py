@@ -181,22 +181,34 @@ def _lm_engine(x0, params0, src_idx, dst_idx, pts_src, pts_dst, w,
 
 
 def solve_bundle(problem, variant, param_mask, params0,
-                 max_iters=MAX_LM_ITERS):
+                 max_iters=MAX_LM_ITERS, mesh=None):
     """Adjust cameras: returns (params (N, P) np array, cost).
 
     problem: dict with src_idx (E,), dst_idx (E,), pts_src/pts_dst (E, M, 2),
     w (E, M) in {0,1}. param_mask: (P,) bool over per-camera parameters;
-    frozen entries keep their params0 values.
+    frozen entries keep their params0 values. With a mesh, the edge axis is
+    sharded across its devices (E must divide by the device count) and the
+    J^T J / J^T r contractions become psum-reduced collectives.
     """
     params0 = np.asarray(params0, np.float32)
     active_idx = tuple(int(i) for i in np.where(np.asarray(param_mask))[0])
     x0 = params0[:, list(active_idx)].reshape(-1)
+
+    def edge_arr(a, dtype=None):
+        a = jnp.asarray(a) if dtype is None else jnp.asarray(a, dtype)
+        if mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(mesh.axis_names[0], *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
     x, cost = _lm_engine(
         jnp.asarray(x0), jnp.asarray(params0),
-        jnp.asarray(problem["src_idx"]), jnp.asarray(problem["dst_idx"]),
-        jnp.asarray(problem["pts_src"], jnp.float32),
-        jnp.asarray(problem["pts_dst"], jnp.float32),
-        jnp.asarray(problem["w"], jnp.float32),
+        edge_arr(problem["src_idx"]), edge_arr(problem["dst_idx"]),
+        edge_arr(problem["pts_src"], jnp.float32),
+        edge_arr(problem["pts_dst"], jnp.float32),
+        edge_arr(problem["w"], jnp.float32),
         variant=variant, active_idx=active_idx, max_iters=int(max_iters))
     x = np.asarray(x)
     full = params0.copy()

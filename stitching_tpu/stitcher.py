@@ -63,7 +63,10 @@ class Stitcher:
         "timelapse_prefix": Timelapser.DEFAULT_TIMELAPSE_PREFIX,
     }
 
-    def __init__(self, **kwargs):
+    def __init__(self, mesh=None, **kwargs):
+        # mesh: optional jax.sharding.Mesh — shards the image / match-pair /
+        # bundle-edge / tile axes across its devices (SPMD; see parallel/).
+        self.mesh = mesh
         self.initialize_stitcher(**kwargs)
 
     def initialize_stitcher(self, **kwargs):
