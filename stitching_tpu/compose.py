@@ -42,6 +42,12 @@ def _round_up(x, m=_BUCKET):
     return int(-(-x // m) * m)
 
 
+@jax.jit
+def _stack_to_u8(data, masks):
+    return (jnp.clip(jnp.round(data), 0, 255).astype(jnp.uint8),
+            masks.astype(jnp.uint8))
+
+
 @dataclasses.dataclass(frozen=True)
 class TileStack:
     """A batch of warped tiles resident on device.
@@ -71,12 +77,13 @@ class TileStack:
         return np.asarray(self.masks[i, :h, :w]).astype(np.uint8)
 
     def to_host(self):
-        """One transfer: lists of per-image (img, mask) numpy views."""
-        data = np.asarray(self.data)
-        masks = np.asarray(self.masks)
+        """One transfer: lists of per-image (img, mask) numpy views.
+
+        Pixels convert to uint8 ON DEVICE so the transfer moves 4x less
+        (tile values are 0..255 floats throughout the pipeline)."""
+        data, masks = jax.device_get(_stack_to_u8(self.data, self.masks))
         imgs = [data[i, :h, :w] for i, (w, h) in enumerate(self.sizes)]
-        ms = [masks[i, :h, :w].astype(np.uint8)
-              for i, (w, h) in enumerate(self.sizes)]
+        ms = [masks[i, :h, :w] for i, (w, h) in enumerate(self.sizes)]
         return imgs, ms
 
 
@@ -481,7 +488,23 @@ def _mb_feed_scan(tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
     return band_acc, band_w
 
 
-def _feather_feed_scan(tiles, seams, offs, sizes, sharpness, ph, pw,
+def _shifted_tile_window(tile, seam, shift, size):
+    """View the tile inside its (clamped) canvas window: window pixel
+    (r, s) maps to tile pixel (r - shift_y, s - shift_x); outside the true
+    tile extent the seam reads 0 (no contribution)."""
+    TH, TW = tile.shape[0], tile.shape[1]
+    ry = jnp.arange(TH, dtype=jnp.int32) - shift[1]
+    rx = jnp.arange(TW, dtype=jnp.int32) - shift[0]
+    yc = jnp.clip(ry, 0, TH - 1)
+    xc = jnp.clip(rx, 0, TW - 1)
+    win = tile[yc][:, xc]
+    iny = (ry >= 0) & (ry < size[1])
+    inx = (rx >= 0) & (rx < size[0])
+    sm = jnp.where(iny[:, None] & inx[None, :], seam[yc][:, xc], 0.0)
+    return win, sm
+
+
+def _feather_feed_scan(tiles, seams, offs, shifts, sizes, sharpness, ph, pw,
                        vary_axis=None):
     from .ops.blend import distance_transform_l1
 
@@ -492,26 +515,25 @@ def _feather_feed_scan(tiles, seams, offs, sizes, sharpness, ph, pw,
 
     def feed(carry, x):
         acc, wsum = carry
-        tile, seam, off, size = x
-        cols = jnp.arange(TW)[None, :]
-        rows = jnp.arange(TH)[:, None]
-        inside = (cols < size[0]) & (rows < size[1])
-        m = jnp.where(inside, (seam > 0).astype(jnp.float32), 0.0)
+        tile, seam, off, shift, size = x
+        win, sm = _shifted_tile_window(tile, seam, shift, size)
+        m = (sm > 0).astype(jnp.float32)
         wgt = jnp.minimum(distance_transform_l1(m) * sharpness, 1.0)
         wgt = jnp.where(m > 0, wgt, 0.0)
         a = jax.lax.dynamic_slice(
-            acc, (off[1], off[0], 0), (TH, TW, C)) + tile * wgt[..., None]
+            acc, (off[1], off[0], 0), (TH, TW, C)) + win * wgt[..., None]
         acc = jax.lax.dynamic_update_slice(acc, a, (off[1], off[0], 0))
         wv = jax.lax.dynamic_slice(wsum, (off[1], off[0]), (TH, TW)) + wgt
         wsum = jax.lax.dynamic_update_slice(wsum, wv, (off[1], off[0]))
         return (acc, wsum), 0
 
     (acc, wsum), _ = jax.lax.scan(feed, (acc, wsum),
-                                  (tiles, seams, offs, sizes))
+                                  (tiles, seams, offs, shifts, sizes))
     return acc, wsum
 
 
-def _paste_feed_scan(tiles, seams, offs, sizes, ph, pw, vary_axis=None):
+def _paste_feed_scan(tiles, seams, offs, shifts, sizes, ph, pw,
+                     vary_axis=None):
     C = tiles.shape[-1]
     canvas = _vary(jnp.zeros((ph, pw, C), jnp.float32), vary_axis)
     cmask = _vary(jnp.zeros((ph, pw), jnp.float32), vary_axis)
@@ -519,13 +541,12 @@ def _paste_feed_scan(tiles, seams, offs, sizes, ph, pw, vary_axis=None):
 
     def feed(carry, x):
         canvas, cmask = carry
-        tile, seam, off, size = x
-        cols = jnp.arange(TW)[None, :]
-        rows = jnp.arange(TH)[:, None]
-        inside = (cols < size[0]) & (rows < size[1]) & (seam > 0)
+        tile, seam, off, shift, size = x
+        win, sm = _shifted_tile_window(tile, seam, shift, size)
+        inside = sm > 0
         region = jax.lax.dynamic_slice(
             canvas, (off[1], off[0], 0), (TH, TW, C))
-        region = jnp.where(inside[..., None], tile, region)
+        region = jnp.where(inside[..., None], win, region)
         canvas = jax.lax.dynamic_update_slice(
             canvas, region, (off[1], off[0], 0))
         mreg = jax.lax.dynamic_slice(cmask, (off[1], off[0]), (TH, TW))
@@ -534,7 +555,7 @@ def _paste_feed_scan(tiles, seams, offs, sizes, ph, pw, vary_axis=None):
         return (canvas, cmask), 0
 
     (canvas, cmask), _ = jax.lax.scan(feed, (canvas, cmask),
-                                      (tiles, seams, offs, sizes))
+                                      (tiles, seams, offs, shifts, sizes))
     return canvas, cmask
 
 
@@ -562,11 +583,12 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
         elif kind == "feather":
             def prog(tiles, seams, offs, shifts, sizes, sharpness):
                 acc, wsum = _feather_feed_scan(
-                    tiles, seams, offs, sizes, sharpness, ph, pw)
+                    tiles, seams, offs, shifts, sizes, sharpness, ph, pw)
                 return acc / jnp.maximum(wsum[..., None], 1e-5), wsum
         else:
             def prog(tiles, seams, offs, shifts, sizes, sharpness):
-                return _paste_feed_scan(tiles, seams, offs, sizes, ph, pw)
+                return _paste_feed_scan(
+                    tiles, seams, offs, shifts, sizes, ph, pw)
         return jax.jit(prog)
 
     from jax.experimental.shard_map import shard_map
@@ -585,7 +607,7 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
     elif kind == "feather":
         def local(tiles, seams, offs, shifts, sizes, sharpness):
             acc, wsum = _feather_feed_scan(
-                tiles, seams, offs, sizes, sharpness, ph, pw,
+                tiles, seams, offs, shifts, sizes, sharpness, ph, pw,
                 vary_axis=axis)
             acc = jax.lax.psum(acc, axis)
             wsum = jax.lax.psum(wsum, axis)
@@ -593,7 +615,7 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
     else:
         def local(tiles, seams, offs, shifts, sizes, sharpness):
             canvas, cmask = _paste_feed_scan(
-                tiles, seams, offs, sizes, ph, pw, vary_axis=axis)
+                tiles, seams, offs, shifts, sizes, ph, pw, vary_axis=axis)
             return jax.lax.pmax(canvas, axis), jax.lax.pmax(cmask, axis)
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=sh,
@@ -639,23 +661,30 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
         nb = int(np.clip(int(np.log(blend_width) / np.log(2.0) - 1.0), 1, 8))
         m = 1 << nb
         gap = 3 * m
-        wh = _round_up(th + 2 * gap + m, max(_BUCKET, m))
-        ww = _round_up(twd + 2 * gap + m, max(_BUCKET, m))
-        ph = _round_up(dh, m) + wh
-        pw = _round_up(dw, m) + ww
-        for i in range(n):
-            for a in (0, 1):
-                start = max(corners[i, a] - gap, tl[a])
-                aligned = tl[a] + ((start - tl[a]) // m) * m
-                offs[i, a] = aligned - tl[a]
-                shifts[i, a] = corners[i, a] - aligned
     else:
-        wh, ww = th, twd
-        ph = dh + th
-        pw = dw + twd
-        offs[:n] = corners - np.asarray(tl)[None, :]
+        m = 1
+        gap = 0
         if kind == "feather":
             sharpness = 1.0 / blend_width
+    # Window geometry: the window is the bucketed tile plus the multiband
+    # border-context gap. Window offsets clamp so every window fits inside
+    # a canvas only slightly larger than the panorama itself (the window
+    # gathers the tile at a per-image shift, so clamping stays exact) —
+    # canvas area tracks the panorama, not panorama + window.
+    if kind == "multiband":
+        wh = _round_up(th + 2 * gap + m, max(_BUCKET, m))
+        ww = _round_up(twd + 2 * gap + m, max(_BUCKET, m))
+    else:
+        wh, ww = th, twd
+    ph = max(_round_up(dh + gap + m, max(64, m)), wh)
+    pw = max(_round_up(dw + gap + m, max(64, m)), ww)
+    for i in range(n):
+        for a, (pd, wd) in enumerate(((pw, ww), (ph, wh))):
+            start = max(corners[i, a] - gap, tl[a])
+            aligned = tl[a] + ((start - tl[a]) // m) * m
+            aligned = min(aligned, tl[a] + pd - wd)
+            offs[i, a] = aligned - tl[a]
+            shifts[i, a] = corners[i, a] - aligned
 
     prog = _blend_program(kind, nb, wh, ww, ph, pw, mesh)
     pano, wmap = prog(stack.data, seam_masks, jnp.asarray(offs),

@@ -1,23 +1,31 @@
 """Auto-crop: remove the invalid border the warp creates.
 
-Parity: reference `stitching/cropper.py:1-151` — `Rectangle` helper namedtuple
-with `times(aspect)` scaling, `prepare` building the estimated panorama mask
-via a "no"-blend composite (:85-88), the largest-interior-rectangle search
-(:90-104, our `ops/lir.py` instead of the numba package), the single-region
-validation (reference checks cv.findContours hierarchy == one outer contour;
-we flood-fill), zero-centered corners (:106-110), per-image overlap rects
-with the LIR (:120-132, "Rectangles do not overlap!" error) and image-local
-intersection rects (:134-147), and the crop application at a resolution
-aspect (`crop_img` :68-74, `crop_rois` :76-83).
+Covers the reference's `stitching/cropper.py` contract: estimate the
+panorama mask (paste composite), require exactly one simply-connected
+foreground region (else the "Invalid Contour" error with the --no-crop
+hint), find the largest interior rectangle (`ops/lir.py`, the
+largestinteriorrectangle-package analog), zero-center the corners, clip
+every image's warped rect against the LIR ("Rectangles do not overlap!" on
+disjoint rects), and apply the per-image crops at a resolution aspect.
+
+Rect algebra lives in module functions over a minimal `Rectangle` value
+type; the batched engine calls `prepare_from_mask` with a device-composited
+panorama mask and applies the rects with one sliced-stack kernel
+(`compose.slice_stack`).
 """
 
 from collections import namedtuple
 
 import numpy as np
 
-from .blender import Blender
 from .errors import StitchingError
 from .ops.lir import largest_interior_rectangle
+
+_INVALID_CONTOUR = (
+    "Invalid Contour. Run with --no-crop (using the stitch interface), "
+    "crop=false (using the stitcher class) or Cropper(False) "
+    "(using the cropper class)"
+)
 
 
 class Rectangle(namedtuple("Rectangle", "x y width height")):
@@ -58,28 +66,61 @@ class Rectangle(namedtuple("Rectangle", "x y width height")):
         return img
 
 
-def _flood_count(mask):
-    """Vectorized flood fill from the first foreground pixel; returns the
-    filled region (bool) — used to validate a single simply-connected mask."""
-    m = mask > 0
-    if not m.any():
-        return np.zeros_like(m)
-    seed = np.zeros_like(m)
-    idx = np.argwhere(m)[0]
-    seed[idx[0], idx[1]] = True
-    prev_count = 0
-    while True:
-        grow = seed.copy()
-        grow[1:, :] |= seed[:-1, :]
-        grow[:-1, :] |= seed[1:, :]
-        grow[:, 1:] |= seed[:, :-1]
-        grow[:, :-1] |= seed[:, 1:]
-        seed = grow & m
-        c = int(seed.sum())
-        if c == prev_count:
-            return seed
-        prev_count = c
+# ---------------------------------------------------------------------------
+# Rect algebra
+# ---------------------------------------------------------------------------
 
+def clip_rect(rect, bound):
+    """rect ∩ bound in shared coords; error when they don't meet."""
+    x1 = max(rect.x, bound.x)
+    y1 = max(rect.y, bound.y)
+    x2 = min(rect.x2, bound.x2)
+    y2 = min(rect.y2, bound.y2)
+    if x2 < x1 or y2 < y1:
+        raise StitchingError("Rectangles do not overlap!")
+    return Rectangle(x1, y1, x2 - x1, y2 - y1)
+
+
+def to_local(rect, outer):
+    """Express `rect` (global coords) relative to its image's rect."""
+    return Rectangle(abs(rect.x - outer.x), abs(rect.y - outer.y),
+                     rect.width, rect.height)
+
+
+def zero_center(corners):
+    ox = min(c[0] for c in corners)
+    oy = min(c[1] for c in corners)
+    return [(x - ox, y - oy) for x, y in corners]
+
+
+def single_region(mask):
+    """The flood-filled foreground region iff the mask is one
+    simply-connected blob; None otherwise (the reference asserts exactly
+    one outer contour, cropper.py:95-99)."""
+    m = np.asarray(mask) > 0
+    if not m.any():
+        return None
+    region = np.zeros_like(m)
+    seed = np.argwhere(m)[0]
+    region[seed[0], seed[1]] = True
+    count = 0
+    while True:
+        grown = region.copy()
+        grown[1:, :] |= region[:-1, :]
+        grown[:-1, :] |= region[1:, :]
+        grown[:, 1:] |= region[:, :-1]
+        grown[:, :-1] |= region[:, 1:]
+        region = grown & m
+        c = int(region.sum())
+        if c == count:
+            break
+        count = c
+    return region if bool((region == m).all()) else None
+
+
+# ---------------------------------------------------------------------------
+# Component
+# ---------------------------------------------------------------------------
 
 class Cropper:
     DEFAULT_CROP = True
@@ -89,6 +130,8 @@ class Cropper:
         self.overlapping_rectangles = []
         self.cropping_rectangles = []
 
+    # -- planning ------------------------------------------------------------
+
     def prepare(self, imgs, masks, corners, sizes):
         if self.do_crop:
             mask = self.estimate_panorama_mask(imgs, masks, corners, sizes)
@@ -96,94 +139,62 @@ class Cropper:
 
     def prepare_from_mask(self, mask, corners, sizes):
         """Plan crop rects from an already-composited panorama mask (the
-        batched engine computes it on device; `prepare` via create_panorama)."""
-        if self.do_crop:
-            self.lir = self.estimate_largest_interior_rectangle(mask)
-            corners = self.get_zero_center_corners(corners)
-            rectangles = self.get_rectangles(corners, sizes)
-            self.overlapping_rectangles = self.get_overlaps(
-                rectangles, self.lir)
-            self.intersection_rectangles = self.get_intersections(
-                rectangles, self.overlapping_rectangles)
+        batched engine composites it on device)."""
+        if not self.do_crop:
+            return
+        self.lir = self.estimate_largest_interior_rectangle(mask)
+        corners = zero_center(corners)
+        img_rects = [Rectangle(*c, *s) for c, s in zip(corners, sizes)]
+        self.overlapping_rectangles = [
+            clip_rect(r, self.lir) for r in img_rects]
+        self.intersection_rectangles = [
+            to_local(clipped, outer) for clipped, outer in
+            zip(self.overlapping_rectangles, img_rects)]
+
+    @staticmethod
+    def estimate_panorama_mask(imgs, masks, corners, sizes):
+        from .blender import Blender
+
+        return Blender.create_panorama(imgs, masks, corners, sizes)[1]
+
+    def estimate_largest_interior_rectangle(self, mask):
+        if single_region(mask) is None:
+            raise StitchingError(_INVALID_CONTOUR)
+        x, y, w, h = np.asarray(
+            largest_interior_rectangle(np.asarray(mask) > 0))
+        return Rectangle(int(x), int(y), int(w), int(h))
+
+    # -- application ---------------------------------------------------------
 
     def crop_images(self, imgs, aspect=1):
         for idx, img in enumerate(imgs):
             yield self.crop_img(img, idx, aspect)
 
     def crop_img(self, img, idx, aspect=1):
-        if self.do_crop:
-            intersection_rect = self.intersection_rectangles[idx]
-            scaled_intersection_rect = intersection_rect.times(aspect)
-            return self.crop_rectangle(img, scaled_intersection_rect)
-        return img
+        if not self.do_crop:
+            return img
+        r = self.intersection_rectangles[idx].times(aspect)
+        return img[r.y: r.y2, r.x: r.x2]
 
     def crop_rois(self, corners, sizes, aspect=1):
-        if self.do_crop:
-            scaled_overlaps = [
-                r.times(aspect) for r in self.overlapping_rectangles]
-            cropped_corners = [r.corner for r in scaled_overlaps]
-            cropped_corners = self.get_zero_center_corners(cropped_corners)
-            cropped_sizes = [r.size for r in scaled_overlaps]
-            return cropped_corners, cropped_sizes
-        return corners, sizes
+        if not self.do_crop:
+            return corners, sizes
+        scaled = [r.times(aspect) for r in self.overlapping_rectangles]
+        return (zero_center([r.corner for r in scaled]),
+                [r.size for r in scaled])
 
-    @staticmethod
-    def estimate_panorama_mask(imgs, masks, corners, sizes):
-        _, mask = Blender.create_panorama(imgs, masks, corners, sizes)
-        return mask
+    # -- legacy aliases (reference static API) -------------------------------
 
-    def estimate_largest_interior_rectangle(self, mask):
-        # Validate a single simply-connected foreground region (the
-        # reference asserts exactly one outer contour, cropper.py:95-99).
-        fg = _flood_count(mask)
-        single = bool((fg == (mask > 0)).all())
-        if not single or not fg.any():
-            raise StitchingError(
-                "Invalid Contour. Run with --no-crop (using the stitch interface), crop=false (using the stitcher class) or Cropper(False) (using the cropper class)"  # noqa: E501
-            )
-        x, y, w, h = np.asarray(largest_interior_rectangle(
-            np.asarray(mask) > 0))
-        return Rectangle(int(x), int(y), int(w), int(h))
-
-    @staticmethod
-    def get_zero_center_corners(corners):
-        min_corner_x = min([corner[0] for corner in corners])
-        min_corner_y = min([corner[1] for corner in corners])
-        return [(x - min_corner_x, y - min_corner_y) for x, y in corners]
+    get_zero_center_corners = staticmethod(zero_center)
 
     @staticmethod
     def get_rectangles(corners, sizes):
-        return [Rectangle(*corner, *size)
-                for corner, size in zip(corners, sizes)]
-
-    @staticmethod
-    def get_overlaps(rectangles, lir):
-        return [Cropper.get_overlap(r, lir) for r in rectangles]
+        return [Rectangle(*c, *s) for c, s in zip(corners, sizes)]
 
     @staticmethod
     def get_overlap(rectangle1, rectangle2):
-        x1 = max(rectangle1.x, rectangle2.x)
-        y1 = max(rectangle1.y, rectangle2.y)
-        x2 = min(rectangle1.x2, rectangle2.x2)
-        y2 = min(rectangle1.y2, rectangle2.y2)
-        if x2 < x1 or y2 < y1:
-            raise StitchingError("Rectangles do not overlap!")
-        return Rectangle(x1, y1, x2 - x1, y2 - y1)
-
-    @staticmethod
-    def get_intersections(rectangles, overlapping_rectangles):
-        return [
-            Cropper.get_intersection(r, overlap_r)
-            for r, overlap_r in zip(rectangles, overlapping_rectangles)
-        ]
+        return clip_rect(rectangle1, rectangle2)
 
     @staticmethod
     def get_intersection(rectangle, overlapping_rectangle):
-        x = abs(overlapping_rectangle.x - rectangle.x)
-        y = abs(overlapping_rectangle.y - rectangle.y)
-        return Rectangle(x, y, overlapping_rectangle.width,
-                         overlapping_rectangle.height)
-
-    @staticmethod
-    def crop_rectangle(img, rectangle):
-        return img[rectangle.y: rectangle.y2, rectangle.x: rectangle.x2]
+        return to_local(overlapping_rectangle, rectangle)

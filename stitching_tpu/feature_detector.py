@@ -10,11 +10,12 @@ TPU-first shape: `detect` runs ONE batched dispatch for the whole image list
 kernel launch per image; results land on host once as fixed-capacity
 `Features` structs.
 
-brisk/akaze note: both are registered and functional, implemented on the same
-FAST-pyramid + binary-descriptor machinery as ORB but with their own
-deterministic concentric sampling patterns (BRISK-style long/short pairs) and
-a larger 512-bit descriptor. They are quality-equivalent stand-ins, not
-bit-level reimplementations of the BRISK/AKAZE papers.
+brisk: the real BRISK machinery (`ops/brisk.py`) — octave+intra-octave
+scale ladder, the concentric 60-point sampling pattern with per-ring
+Gaussian smoothing, long-pair gradient orientation and the short-pair
+512-bit descriptor. akaze: the real AKAZE machinery (`ops/akaze.py`) —
+FED nonlinear-diffusion scale space, scale-normalized Hessian detection,
+and rotated M-LDB (intensity + gradient cell comparisons, 486 bits).
 """
 
 from collections import OrderedDict
@@ -72,18 +73,26 @@ class FeatureDetector:
 
     def detect_on_stack(self, stack, masks=None):
         """Detect on an already-device-resident DeviceStack (the batched
-        engine path — avoids re-uploading images)."""
-        out = jax.device_get(detect_stack(
+        engine path — avoids re-uploading images).
+
+        Descriptors stay ON DEVICE (each Features.desc is a lazy device
+        slice): the matcher re-stacks them with a device op, so the bulky
+        descriptor tensor never crosses the host boundary."""
+        out = detect_stack(
             stack, nfeatures=self.nfeatures, variant=self.detector_name,
-            feature_masks=masks))
+            feature_masks=masks)
+        small = jax.device_get(
+            {k: out[k] for k in
+             ("xy", "response", "size", "angle_deg", "valid")})
+        desc = out["desc"]
         return [
             Features(
-                xy=np.asarray(out["xy"][i]),
-                response=np.asarray(out["response"][i]),
-                size=np.asarray(out["size"][i]),
-                angle=np.asarray(out["angle_deg"][i]),
-                desc=np.asarray(out["desc"][i]),
-                valid=np.asarray(out["valid"][i]),
+                xy=np.asarray(small["xy"][i]),
+                response=np.asarray(small["response"][i]),
+                size=np.asarray(small["size"][i]),
+                angle=np.asarray(small["angle_deg"][i]),
+                desc=desc[i],
+                valid=np.asarray(small["valid"][i]),
                 img_size=(int(w), int(h)),
                 is_binary=self.is_binary,
             )

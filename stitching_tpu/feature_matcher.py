@@ -21,6 +21,8 @@ Behavior reproduced from the native cv.detail matchers (SURVEY.md §2b):
 - the reverse pair (j,i) carries H^-1 and the same confidence.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .errors import StitchingError
@@ -69,8 +71,12 @@ class FeatureMatcher:
         n = len(features)
         result = [MatchesInfo() for _ in range(n * n)]
 
+        # device-resident descriptors re-stack on device (no host transfer)
+        desc = (jnp.stack([f.desc for f in features])
+                if isinstance(features[0].desc, jax.Array)
+                else np.stack([np.asarray(f.desc) for f in features]))
         feats = dict(
-            desc=np.stack([np.asarray(f.desc) for f in features]),
+            desc=desc,
             valid=np.stack([np.asarray(f.valid) for f in features]),
             xy=np.stack([np.asarray(f.xy) for f in features]),
         )

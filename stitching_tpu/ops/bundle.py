@@ -41,7 +41,7 @@ import numpy as np
 
 from .rotation import rodrigues_to_matrix
 
-MAX_LM_ITERS = 200  # total trial steps (accepts + rejects)
+MAX_LM_ITERS = 100  # total trial steps (accepts + rejects)
 
 
 def _K_from_params(p):

@@ -1,10 +1,16 @@
 """Gaussian/Laplacian pyramid primitives (cv.pyrDown/pyrUp analogs).
 
-Building blocks for the multi-band blender (`ops/blend.py`), the TPU-native
-equivalent of `cv.detail_MultiBandBlender` (reference call site
-`stitching/blender.py:31-32`). The classic 5-tap binomial kernel
-[1,4,6,4,1]/16 as two separable 1-D convolutions — XLA fuses these into
-efficient VPU code; the stride-2 subsample rides the conv.
+Building blocks for the multi-band blender (`ops/blend.py`,
+`compose.blend_stack`), the TPU-native equivalent of
+`cv.detail_MultiBandBlender` (reference call site `stitching/blender.py:
+31-32`). The classic 5-tap binomial kernel [1,4,6,4,1]/16 as two separable
+passes.
+
+TPU note: these run as SHIFT-AND-ADD slices, not `conv_general_dilated` —
+a 1-channel (or 3-channel) convolution maps onto the 128x128 MXU at <1%
+utilization, while five shifted adds are pure full-width VPU work. The
+down-sample strides the row axis BETWEEN the two 1-D passes so the column
+blur only touches the rows that survive.
 """
 
 from functools import partial
@@ -16,29 +22,26 @@ import numpy as np
 KERNEL5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
-def _sep_conv(img, kernel, stride=1):
-    """(H, W, C) separable conv with reflect-101 padding, optional stride."""
-    k = kernel.shape[0]
-    r = k // 2
-    x = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
-    # rows
-    x = jnp.moveaxis(x, -1, 0)[:, None]          # (C, 1, H+2r, W+2r)
-    kr = kernel.reshape(1, 1, k, 1)
-    kc = kernel.reshape(1, 1, 1, k)
-    x = jax.lax.conv_general_dilated(
-        x, kr, window_strides=(stride, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kc, window_strides=(1, stride), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return jnp.moveaxis(x[:, 0], 0, -1)          # (H', W', C)
+def _blur_axis(img, axis, scale=1.0):
+    """5-tap binomial blur along one axis via shifted adds (reflect-101)."""
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (2, 2)
+    xp = jnp.pad(img, pad, mode="reflect")
+    n = img.shape[axis]
+    out = None
+    for k, w in enumerate(KERNEL5 * scale):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(k, k + n)
+        term = xp[tuple(sl)] * w
+        out = term if out is None else out + term
+    return out
 
 
 @jax.jit
 def pyr_down(img: jax.Array) -> jax.Array:
     """Blur + 2x subsample of (H, W, C) float; H, W must be even here."""
-    k = jnp.asarray(KERNEL5)
-    return _sep_conv(img, k, stride=2)
+    rows = _blur_axis(img, 0)[::2]
+    return _blur_axis(rows, 1)[:, ::2]
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
@@ -47,8 +50,7 @@ def pyr_up(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     h, w, c = img.shape
     up = jnp.zeros((h * 2, w * 2, c), img.dtype)
     up = up.at[::2, ::2].set(img)
-    k = jnp.asarray(KERNEL5) * 2.0
-    out = _sep_conv(up, k)
+    out = _blur_axis(_blur_axis(up, 0, 2.0), 1, 2.0)
     return out[:out_h, :out_w]
 
 

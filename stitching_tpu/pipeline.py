@@ -166,17 +166,34 @@ def resize_stack(stack: DeviceStack, out_sizes) -> DeviceStack:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("nfeatures", "variant"))
-def _detect_kernel(gray, region_masks, *, nfeatures, variant):
+def _detect_kernel(data, sizes, user_masks, *, nfeatures, variant):
+    """Gray conversion + in-region gating + detection, all one program."""
+    from .ops.akaze import detect_akaze
+    from .ops.brisk import detect_brisk
+    from .ops.color import bgr_to_gray
     from .ops.orb import detect_orb
     from .ops.sift import detect_sift
+
+    gray = bgr_to_gray(data) if data.shape[-1] == 3 else data[..., 0]
+    h, w = data.shape[1], data.shape[2]
+    cols = jnp.arange(w)[None, None, :]
+    rows = jnp.arange(h)[None, :, None]
+    region = ((cols < sizes[:, 0][:, None, None])
+              & (rows < sizes[:, 1][:, None, None]))
+    if user_masks is not None:
+        region = region & user_masks
 
     def one(g, m):
         if variant == "sift":
             return detect_sift(g, m, nfeatures=nfeatures, with_mask=True)
+        if variant == "brisk":
+            return detect_brisk(g, m, nfeatures=nfeatures, with_mask=True)
+        if variant == "akaze":
+            return detect_akaze(g, m, nfeatures=nfeatures, with_mask=True)
         return detect_orb(g, m, nfeatures=nfeatures, with_mask=True,
                           variant=variant)
 
-    return jax.vmap(one)(gray, region_masks)
+    return jax.vmap(one)(gray, region)
 
 
 def detect_stack(stack: DeviceStack, *, nfeatures, variant,
@@ -186,16 +203,9 @@ def detect_stack(stack: DeviceStack, *, nfeatures, variant,
     Returns a dict of stacked arrays: xy (B,N,2), response (B,N),
     size (B,N), angle_deg (B,N), desc (B,N,D), valid (B,N).
     """
-    from .ops.color import bgr_to_gray
-
     data = stack.data
-    gray = bgr_to_gray(data) if data.shape[-1] == 3 else data[..., 0]
     h, w = data.shape[1], data.shape[2]
-    cols = jnp.arange(w)[None, None, :]
-    rows = jnp.arange(h)[None, :, None]
-    sizes = jnp.asarray(stack.sizes)
-    region = ((cols < sizes[:, 0][:, None, None])
-              & (rows < sizes[:, 1][:, None, None]))
+    user_masks = None
     if feature_masks is not None:
         fm = np.zeros((stack.batch, h, w), bool)
         for i, m in enumerate(feature_masks):
@@ -204,8 +214,9 @@ def detect_stack(stack: DeviceStack, *, nfeatures, variant,
             else:
                 mh, mw = m.shape[:2]
                 fm[i, :mh, :mw] = np.asarray(m) > 0
-        region = region & jnp.asarray(fm)
-    return _detect_kernel(gray, region, nfeatures=nfeatures, variant=variant)
+        user_masks = jnp.asarray(fm)
+    return _detect_kernel(data, jnp.asarray(stack.sizes), user_masks,
+                          nfeatures=nfeatures, variant=variant)
 
 
 # ---------------------------------------------------------------------------

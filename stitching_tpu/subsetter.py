@@ -1,12 +1,13 @@
 """Match-graph subsetting: keep the largest connected component.
 
-Parity: reference `stitching/subsetter.py:1-79` — confidence-threshold
-union over the pair graph (cv.detail.leaveBiggestComponent analog), the
-"Not all images are included" warning, the <2-survivors StitchingError, the
-DOT matches-graph dump (cv.detail.matchesGraphAsString analog, including the
-issue-#56 zero-threshold quirk), and the static re-indexing helpers.
-
-Union-find runs on host: N is tiny (image count), this is pure control flow.
+Covers the reference's `stitching/subsetter.py` contract
+(cv.detail.leaveBiggestComponent + matchesGraphAsString analogs): the
+confidence-thresholded component search, the "Not all images are included"
+warning, the <2-survivors StitchingError, the DOT matches-graph dump
+(including the issue-#56 zero-threshold quirk), and the static re-indexing
+helpers. Graph logic lives in module-level functions over the confidence
+matrix (N is tiny — pure host control flow); the class is the configured
+component shell.
 """
 
 import warnings
@@ -16,6 +17,68 @@ import numpy as np
 
 from .errors import StitchingError, StitchingWarning
 from .feature_matcher import FeatureMatcher
+
+_DROPPED_WARNING = (
+    "Not all images are included in the final panorama. If this is not "
+    "intended, use the 'matches_graph_dot_file' parameter to analyze your "
+    "matches. You might want to lower the 'confidence_threshold' or try "
+    "another 'detector' to include all your images."
+)
+_NO_MATCH_ERROR = (
+    "No match exceeds the given confidence threshold. Do your images have "
+    "enough overlap and common features? If yes, you might want to lower "
+    "the 'confidence_threshold' or try another 'detector'."
+)
+
+
+def largest_component(matrix, threshold):
+    """Indices of the biggest connected component of the pair graph whose
+    edges have confidence >= threshold (union-find over the N x N matrix)."""
+    n = len(matrix)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if matrix[i][j].confidence >= threshold:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+
+    components = {}
+    for i in range(n):
+        components.setdefault(find(i), []).append(i)
+    return sorted(max(components.values(), key=len))
+
+
+def matches_graph_dot(img_names, matrix, threshold):
+    """DOT-language dump of the confident match graph (the reference's
+    matchesGraphAsString analog; edge labels Nm/Ni/C)."""
+    if threshold == 0:
+        threshold = 0.00001  # reference issue #56: a 0 threshold breaks it
+    n = len(img_names)
+    lines = ["graph matches_graph{"]
+    in_an_edge = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            m = matrix[i][j]
+            if m.confidence < threshold:
+                continue
+            in_an_edge.update((i, j))
+            lines.append(
+                f'"{img_names[i]}" -- "{img_names[j]}"'
+                f'[label="Nm={m.num_matches}, Ni={m.num_inliers}, '
+                f'C={m.confidence:g}"];'
+            )
+    lines.extend(f'"{img_names[i]}";' for i in range(n)
+                 if i not in in_an_edge)
+    lines.append("}")
+    return "\n".join(lines) + "\n"
 
 
 class Subsetter:
@@ -33,74 +96,25 @@ class Subsetter:
     def subset(self, img_names, features, matches):
         self.save_matches_graph_dot_file(img_names, matches)
         indices = self.get_indices_to_keep(features, matches)
-
         if len(indices) < len(img_names):
-            warnings.warn(
-                "Not all images are included in the final panorama. If this is not intended, use the 'matches_graph_dot_file' parameter to analyze your matches. You might want to lower the 'confidence_threshold' or try another 'detector' to include all your images.",  # noqa: E501
-                StitchingWarning,
-            )
+            warnings.warn(_DROPPED_WARNING, StitchingWarning)
         return indices
 
     def save_matches_graph_dot_file(self, img_names, pairwise_matches):
         if self.save_file:
-            with open(self.save_file, "w") as filehandler:
-                filehandler.write(
-                    self.get_matches_graph(img_names, pairwise_matches))
+            with open(self.save_file, "w") as fh:
+                fh.write(self.get_matches_graph(img_names, pairwise_matches))
 
     def get_matches_graph(self, img_names, pairwise_matches):
-        conf_threshold = (
-            0.00001  # reference issue #56: a 0 threshold breaks the dump
-            if self.confidence_threshold == 0
-            else self.confidence_threshold
-        )
-        n = len(img_names)
         matrix = FeatureMatcher.get_matches_matrix(pairwise_matches)
-        lines = ["graph matches_graph{"]
-        connected = set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                m = matrix[i][j]
-                if m.confidence < conf_threshold:
-                    continue
-                connected.update((i, j))
-                lines.append(
-                    f'"{img_names[i]}" -- "{img_names[j]}"'
-                    f'[label="Nm={m.num_matches}, Ni={m.num_inliers}, '
-                    f'C={m.confidence:g}"];'
-                )
-        for i in range(n):
-            if i not in connected:
-                lines.append(f'"{img_names[i]}";')
-        lines.append("}")
-        return "\n".join(lines) + "\n"
+        return matches_graph_dot(img_names, matrix,
+                                 self.confidence_threshold)
 
     def get_indices_to_keep(self, features, pairwise_matches):
-        n = len(features)
-        parent = list(range(n))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
         matrix = FeatureMatcher.get_matches_matrix(pairwise_matches)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if matrix[i][j].confidence >= self.confidence_threshold:
-                    ra, rb = find(i), find(j)
-                    if ra != rb:
-                        parent[rb] = ra
-
-        comps = {}
-        for i in range(n):
-            comps.setdefault(find(i), []).append(i)
-        indices = sorted(max(comps.values(), key=len))
-
+        indices = largest_component(matrix, self.confidence_threshold)
         if len(indices) < 2:
-            raise StitchingError(
-                "No match exceeds the given confidence threshold. Do your images have enough overlap and common features? If yes, you might want to lower the 'confidence_threshold' or try another 'detector'."  # noqa: E501
-            )
+            raise StitchingError(_NO_MATCH_ERROR)
         return np.array(indices)
 
     @staticmethod
@@ -109,7 +123,8 @@ class Subsetter:
 
     @staticmethod
     def subset_matches(pairwise_matches, indices):
-        matches_matrix = FeatureMatcher.get_matches_matrix(pairwise_matches)
-        matches_matrix = np.array(matches_matrix, dtype=object)
-        matches_matrix_subset = matches_matrix[np.ix_(indices, indices)]
-        return list(chain.from_iterable(matches_matrix_subset.tolist()))
+        matrix = np.array(
+            FeatureMatcher.get_matches_matrix(pairwise_matches),
+            dtype=object)
+        kept = matrix[np.ix_(indices, indices)]
+        return list(chain.from_iterable(kept.tolist()))

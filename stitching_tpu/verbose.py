@@ -1,13 +1,18 @@
 """Verbose (observability) subsystem: stepwise pipeline with artifact dumps.
 
-Parity: reference `stitching/verbose.py:10-196` — same numbered artifact
-groups: 00_stitcher.txt, 01_features_img*.jpg, 02_matches_img*_to_img*.jpg
-(inlier matches), 03_matches_graph.txt (DOT), 04_warped_img*.jpg,
+Produces the reference's numbered artifact groups (`stitching/verbose.py`):
+00_stitcher.txt, 01_features_img*.jpg, 02_matches_img*_to_img*.jpg (inlier
+matches), 03_matches_graph.txt (DOT), 04_warped_img*.jpg,
 05_timelapse_img*.jpg, 06_estimated_mask_to_crop.jpg + 06_lir.jpg,
 07_timelapse_cropped_img*.jpg, 08_seam_mask*.jpg + 08_compensated*.jpg,
-09_result.jpg (+ seam lines / polygons). Like the reference, seam masks here
-are resized against the FINAL warp masks (a deliberate behavioral difference
-from `stitch()`, reference verbose.py:148-152).
+09_result.jpg (+ seam lines / polygons).
+
+Structured as an artifact SINK threaded through the component-level
+pipeline: each stage computes with the ordinary component APIs and emits
+its artifacts through `_Sink.put`. Like the reference, this mode resizes
+seam masks against the FINAL warp masks (a deliberate behavioral difference
+from `stitch()`, reference verbose.py:148-152), and always runs an `as_is`
+timelapse excursion for visualization.
 """
 
 import os
@@ -17,20 +22,78 @@ from .images import Images
 from .seam_finder import SeamFinder
 from .timelapser import Timelapser
 
+_MEDIUM = Images.Resolution.MEDIUM
+_LOW = Images.Resolution.LOW
+_FINAL = Images.Resolution.FINAL
+
+
+class _Sink:
+    """Numbered artifact writer for one verbose run."""
+
+    def __init__(self, directory):
+        self.dir = "." if directory is None else directory
+
+    def path(self, name):
+        return os.path.join(self.dir, name)
+
+    def put(self, name, img):
+        _io.write_image(self.path(name), img)
+
+    def put_text(self, name, text):
+        with open(self.path(name), "w") as fh:
+            fh.write(text)
+
+    def put_frames(self, pattern, timelapser, imgs, corners):
+        for idx, (img, corner) in enumerate(zip(imgs, corners)):
+            timelapser.process_frame(img, corner)
+            self.put(pattern.format(idx + 1), timelapser.get_frame())
+
 
 def verbose_stitching(stitcher, images, feature_masks=[], verbose_dir=None):
-    _dir = "." if verbose_dir is None else verbose_dir
+    sink = _Sink(verbose_dir)
+    sink.put_text("00_stitcher.txt",
+                  type(stitcher).__name__ + "(**" + str(stitcher.kwargs)
+                  + ")")
 
-    with open(verbose_output(_dir, "00_stitcher.txt"), "w") as file:
-        file.write(type(stitcher).__name__ + "(**" + str(stitcher.kwargs) + ")")
+    images = Images.of(images, stitcher.medium_megapix,
+                       stitcher.low_megapix, stitcher.final_megapix)
+    imgs = list(images.resize(_MEDIUM))
 
-    images = Images.of(
-        images, stitcher.medium_megapix, stitcher.low_megapix,
-        stitcher.final_megapix)
+    features = _dump_features(stitcher, sink, imgs, feature_masks)
+    matches = _dump_matches(stitcher, sink, imgs, features)
+    imgs, features, matches = _dump_subset(
+        stitcher, sink, images, imgs, features, matches)
 
-    imgs = list(images.resize(Images.Resolution.MEDIUM))
+    cameras = stitcher.camera_estimator.estimate(features, matches)
+    cameras = stitcher.camera_adjuster.adjust(features, matches, cameras)
+    cameras = stitcher.wave_corrector.correct(cameras)
+    stitcher.warper.set_scale(cameras)
 
-    # Find Features
+    low = _warp_at(stitcher, images, cameras, imgs, _LOW)
+    final = _warp_at(stitcher, images, cameras, None, _FINAL)
+    for idx, warped in enumerate(final["imgs"]):
+        sink.put(f"04_warped_img{idx + 1}.jpg", warped)
+
+    _dump_timelapse(sink, "05_timelapse_img{}.jpg", final)
+
+    if stitcher.cropper.do_crop:
+        _dump_crop(stitcher, sink, images, low, final)
+        _dump_timelapse(sink, "07_timelapse_cropped_img{}.jpg", final)
+
+    seam_masks = _dump_seams(stitcher, sink, low, final)
+    compensated = _dump_compensation(stitcher, sink, low, final)
+
+    panorama = _blend(stitcher, compensated, seam_masks, final)
+    sink.put("09_result.jpg", panorama)
+    _dump_seam_viz(stitcher, sink, panorama, seam_masks, final)
+    return panorama
+
+
+# ---------------------------------------------------------------------------
+# Stage dumpers
+# ---------------------------------------------------------------------------
+
+def _dump_features(stitcher, sink, imgs, feature_masks):
     finder = stitcher.detector
     if len(feature_masks) == 0:
         features = finder.detect(imgs)
@@ -38,163 +101,108 @@ def verbose_stitching(stitcher, images, feature_masks=[], verbose_dir=None):
         mask_objs = Images.of(
             list(feature_masks), stitcher.medium_megapix,
             stitcher.low_megapix, stitcher.final_megapix)
-        masks = [Images.to_binary(m)
-                 for m in mask_objs.resize(Images.Resolution.MEDIUM)]
+        masks = [Images.to_binary(m) for m in mask_objs.resize(_MEDIUM)]
         features = finder.detect_with_masks(imgs, masks)
     for idx, img_features in enumerate(features):
-        img_with_features = finder.draw_keypoints(imgs[idx], img_features)
-        write_verbose_result(
-            _dir, f"01_features_img{idx + 1}.jpg", img_with_features)
+        sink.put(f"01_features_img{idx + 1}.jpg",
+                 finder.draw_keypoints(imgs[idx], img_features))
+    return features
 
-    # Match Features
+
+def _dump_matches(stitcher, sink, imgs, features):
     matcher = stitcher.matcher
     matches = matcher.match_features(features)
+    drawn = matcher.draw_matches_matrix(
+        imgs, features, matches,
+        conf_thresh=stitcher.subsetter.confidence_threshold, inliers=True)
+    for idx1, idx2, img in drawn:
+        sink.put(f"02_matches_img{idx1 + 1}_to_img{idx2 + 1}.jpg", img)
+    return matches
 
+
+def _dump_subset(stitcher, sink, images, imgs, features, matches):
     subsetter = stitcher.subsetter
-    all_relevant_matches = list(
-        matcher.draw_matches_matrix(
-            imgs, features, matches,
-            conf_thresh=subsetter.confidence_threshold, inliers=True))
-    for idx1, idx2, img in all_relevant_matches:
-        write_verbose_result(
-            _dir, f"02_matches_img{idx1 + 1}_to_img{idx2 + 1}.jpg", img)
-
-    # Subset
-    subsetter.save_file = verbose_output(_dir, "03_matches_graph.txt")
+    subsetter.save_file = sink.path("03_matches_graph.txt")
     subsetter.save_matches_graph_dot_file(images.names, matches)
-
     indices = subsetter.get_indices_to_keep(features, matches)
-    imgs = subsetter.subset_list(imgs, indices)
-    features = subsetter.subset_list(features, indices)
-    matches = subsetter.subset_matches(matches, indices)
     images.subset(indices)
+    return (subsetter.subset_list(imgs, indices),
+            subsetter.subset_list(features, indices),
+            subsetter.subset_matches(matches, indices))
 
-    # Camera Estimation, Adjustment and Correction
-    cameras = stitcher.camera_estimator.estimate(features, matches)
-    cameras = stitcher.camera_adjuster.adjust(features, matches, cameras)
-    cameras = stitcher.wave_corrector.correct(cameras)
 
-    # Warp Images
-    low_imgs = list(images.resize(Images.Resolution.LOW, imgs))
-    imgs = None  # noqa: F841 - free memory like the reference
-
+def _warp_at(stitcher, images, cameras, medium_imgs, resolution):
+    """Warp all images/masks at one resolution; returns a stage dict."""
     warper = stitcher.warper
-    warper.set_scale(cameras)
+    aspect = images.get_ratio(_MEDIUM, resolution)
+    sizes = images.get_scaled_img_sizes(resolution)
+    imgs = list(images.resize(resolution, medium_imgs))
+    warped = list(warper.warp_images(imgs, cameras, aspect))
+    masks = list(warper.create_and_warp_masks(sizes, cameras, aspect))
+    corners, out_sizes = warper.warp_rois(sizes, cameras, aspect)
+    return dict(imgs=warped, masks=masks, corners=corners, sizes=out_sizes)
 
-    low_sizes = images.get_scaled_img_sizes(Images.Resolution.LOW)
-    camera_aspect = images.get_ratio(
-        Images.Resolution.MEDIUM, Images.Resolution.LOW)
-    low_imgs = list(warper.warp_images(low_imgs, cameras, camera_aspect))
-    low_masks = list(
-        warper.create_and_warp_masks(low_sizes, cameras, camera_aspect))
-    low_corners, low_sizes = warper.warp_rois(
-        low_sizes, cameras, camera_aspect)
 
-    final_sizes = images.get_scaled_img_sizes(Images.Resolution.FINAL)
-    camera_aspect = images.get_ratio(
-        Images.Resolution.MEDIUM, Images.Resolution.FINAL)
-    final_imgs = list(images.resize(Images.Resolution.FINAL))
-    final_imgs = list(warper.warp_images(final_imgs, cameras, camera_aspect))
-    final_masks = list(
-        warper.create_and_warp_masks(final_sizes, cameras, camera_aspect))
-    final_corners, final_sizes = warper.warp_rois(
-        final_sizes, cameras, camera_aspect)
-
-    for idx, warped_img in enumerate(final_imgs):
-        write_verbose_result(_dir, f"04_warped_img{idx + 1}.jpg", warped_img)
-
-    # Excursion: Timelapser
+def _dump_timelapse(sink, pattern, stage):
     timelapser = Timelapser("as_is")
-    timelapser.initialize(final_corners, final_sizes)
-    for idx, (img, corner) in enumerate(zip(final_imgs, final_corners)):
-        timelapser.process_frame(img, corner)
-        write_verbose_result(
-            _dir, f"05_timelapse_img{idx + 1}.jpg", timelapser.get_frame())
+    timelapser.initialize(stage["corners"], stage["sizes"])
+    sink.put_frames(pattern, timelapser, stage["imgs"], stage["corners"])
 
-    # Crop
+
+def _dump_crop(stitcher, sink, images, low, final):
     cropper = stitcher.cropper
-    if cropper.do_crop:
-        mask = cropper.estimate_panorama_mask(
-            low_imgs, low_masks, low_corners, low_sizes)
-        write_verbose_result(_dir, "06_estimated_mask_to_crop.jpg", mask)
+    mask = cropper.estimate_panorama_mask(
+        low["imgs"], low["masks"], low["corners"], low["sizes"])
+    sink.put("06_estimated_mask_to_crop.jpg", mask)
+    lir = cropper.estimate_largest_interior_rectangle(mask)
+    sink.put("06_lir.jpg", lir.draw_on(mask, size=2))
 
-        lir = cropper.estimate_largest_interior_rectangle(mask)
-        write_verbose_result(_dir, "06_lir.jpg", lir.draw_on(mask, size=2))
+    low["corners"] = cropper.get_zero_center_corners(low["corners"])
+    cropper.prepare(low["imgs"], low["masks"], low["corners"], low["sizes"])
 
-        low_corners = cropper.get_zero_center_corners(low_corners)
-        cropper.prepare(low_imgs, low_masks, low_corners, low_sizes)
+    for stage, aspect in ((low, 1), (final, images.get_ratio(_LOW, _FINAL))):
+        stage["masks"] = list(cropper.crop_images(stage["masks"], aspect))
+        stage["imgs"] = list(cropper.crop_images(stage["imgs"], aspect))
+        stage["corners"], stage["sizes"] = cropper.crop_rois(
+            stage["corners"], stage["sizes"], aspect)
 
-        low_masks = list(cropper.crop_images(low_masks))
-        low_imgs = list(cropper.crop_images(low_imgs))
-        low_corners, low_sizes = cropper.crop_rois(low_corners, low_sizes)
 
-        lir_aspect = images.get_ratio(
-            Images.Resolution.LOW, Images.Resolution.FINAL)
-        final_masks = list(cropper.crop_images(final_masks, lir_aspect))
-        final_imgs = list(cropper.crop_images(final_imgs, lir_aspect))
-        final_corners, final_sizes = cropper.crop_rois(
-            final_corners, final_sizes, lir_aspect)
+def _dump_seams(stitcher, sink, low, final):
+    finder = stitcher.seam_finder
+    seam_masks = finder.find(low["imgs"], low["corners"], low["masks"])
+    seam_masks = [finder.resize(seam, mask)
+                  for seam, mask in zip(seam_masks, final["masks"])]
+    for idx, (img, seam) in enumerate(zip(final["imgs"], seam_masks)):
+        sink.put(f"08_seam_mask{idx + 1}.jpg",
+                 SeamFinder.draw_seam_mask(img, seam))
+    return seam_masks
 
-        timelapser = Timelapser("as_is")
-        timelapser.initialize(final_corners, final_sizes)
-        for idx, (img, corner) in enumerate(zip(final_imgs, final_corners)):
-            timelapser.process_frame(img, corner)
-            write_verbose_result(
-                _dir, f"07_timelapse_cropped_img{idx + 1}.jpg",
-                timelapser.get_frame())
 
-    # Seam Masks
-    seam_finder = stitcher.seam_finder
-    seam_masks = seam_finder.find(low_imgs, low_corners, low_masks)
-    seam_masks = [
-        seam_finder.resize(seam_mask, mask)
-        for seam_mask, mask in zip(seam_masks, final_masks)
-    ]
-    seam_masks_plots = [
-        SeamFinder.draw_seam_mask(img, seam_mask)
-        for img, seam_mask in zip(final_imgs, seam_masks)
-    ]
-    for idx, seam_mask in enumerate(seam_masks_plots):
-        write_verbose_result(_dir, f"08_seam_mask{idx + 1}.jpg", seam_mask)
-
-    # Exposure Error Compensation
+def _dump_compensation(stitcher, sink, low, final):
     compensator = stitcher.compensator
-    compensator.feed(low_corners, low_imgs, low_masks)
-    compensated_imgs = [
-        compensator.apply(idx, corner, img, mask)
-        for idx, (img, mask, corner) in enumerate(
-            zip(final_imgs, final_masks, final_corners))
-    ]
-    for idx, compensated_img in enumerate(compensated_imgs):
-        write_verbose_result(
-            _dir, f"08_compensated{idx + 1}.jpg", compensated_img)
+    compensator.feed(low["corners"], low["imgs"], low["masks"])
+    out = [compensator.apply(idx, corner, img, mask)
+           for idx, (img, mask, corner) in enumerate(
+               zip(final["imgs"], final["masks"], final["corners"]))]
+    for idx, img in enumerate(out):
+        sink.put(f"08_compensated{idx + 1}.jpg", img)
+    return out
 
-    # Blending
+
+def _blend(stitcher, imgs, seam_masks, final):
     blender = stitcher.blender
-    blender.prepare(final_corners, final_sizes)
-    for img, mask, corner in zip(compensated_imgs, seam_masks, final_corners):
+    blender.prepare(final["corners"], final["sizes"])
+    for img, mask, corner in zip(imgs, seam_masks, final["corners"]):
         blender.feed(img, mask, corner)
     panorama, _ = blender.blend()
-
-    write_verbose_result(_dir, "09_result.jpg", panorama)
-
-    blended_seam_masks = seam_finder.blend_seam_masks(
-        seam_masks, final_corners, final_sizes)
-    with_seam_lines = seam_finder.draw_seam_lines(
-        panorama, blended_seam_masks, linesize=3)
-    with_seam_polygons = seam_finder.draw_seam_polygons(
-        panorama, blended_seam_masks)
-    write_verbose_result(_dir, "09_result_with_seam_lines.jpg",
-                         with_seam_lines)
-    write_verbose_result(_dir, "09_result_with_seam_polygons.jpg",
-                         with_seam_polygons)
-
     return panorama
 
 
-def write_verbose_result(dir_name, img_name, img):
-    _io.write_image(verbose_output(dir_name, img_name), img)
-
-
-def verbose_output(dir_name, file):
-    return os.path.join(dir_name, file)
+def _dump_seam_viz(stitcher, sink, panorama, seam_masks, final):
+    finder = stitcher.seam_finder
+    blended = finder.blend_seam_masks(
+        seam_masks, final["corners"], final["sizes"])
+    sink.put("09_result_with_seam_lines.jpg",
+             finder.draw_seam_lines(panorama, blended, linesize=3))
+    sink.put("09_result_with_seam_polygons.jpg",
+             finder.draw_seam_polygons(panorama, blended))

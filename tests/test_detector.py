@@ -50,3 +50,26 @@ def test_mask_validation(img):
 def test_invalid_detector():
     with pytest.raises(StitchingError):
         FeatureDetector("nope")
+
+
+@pytest.mark.slow
+def test_brisk_akaze_real_algorithms():
+    """BRISK (concentric pattern, long/short pairs) and AKAZE (nonlinear
+    diffusion + M-LDB) detect, describe, and register a translated pair."""
+    from fixtures import affine_set
+    from stitching_tpu.feature_matcher import FeatureMatcher
+
+    imgs, offsets = affine_set(n=2, size=(480, 360))
+    dx_true = offsets[1][0] - offsets[0][0]
+    dy_true = offsets[1][1] - offsets[0][1]
+    for variant in ("brisk", "akaze"):
+        det = FeatureDetector(variant)
+        feats = det.detect(imgs)
+        assert all(int(np.sum(f.valid)) > 200 for f in feats), variant
+        assert feats[0].desc.shape[1] == 512
+        m = FeatureMatcher("affine", match_conf=0.3).match_features(feats)
+        info = m[1]
+        assert info.confidence > 1.0, (variant, info.confidence)
+        # the similarity model recovers the ground-truth translation
+        np.testing.assert_allclose(
+            [info.H[0, 2], info.H[1, 2]], [-dx_true, -dy_true], atol=1.5)
