@@ -213,8 +213,12 @@ def warp_stack(data, src_sizes, Ks, Rs, scale, warper_type) -> TileStack:
 # Batched crop
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ch", "cw"))
-def _slice_stack_kernel(tiles, masks, rect_xy, *, ch, cw):
+@partial(jax.jit, static_argnames=("ch", "cw", "pad_h", "pad_w"))
+def _slice_stack_kernel(tiles, masks, rect_xy, *, ch, cw, pad_h, pad_w):
+    if pad_h or pad_w:
+        tiles = jnp.pad(tiles, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        masks = jnp.pad(masks, ((0, 0), (0, pad_h), (0, pad_w)))
+
     def one(t, m, xy):
         ts = jax.lax.dynamic_slice(
             t, (xy[1], xy[0], 0), (ch, cw, t.shape[-1]))
@@ -233,16 +237,20 @@ def slice_stack(stack: TileStack, rects) -> TileStack:
     rects = rects + [(0, 0, 1, 1)] * (b - n)  # padded batch slots
     ch = _round_up(max(r[3] for r in rects))
     cw = _round_up(max(r[2] for r in rects))
-    ch = min(ch, int(stack.data.shape[1]))
-    cw = min(cw, int(stack.data.shape[2]))
+    th, tw = int(stack.data.shape[1]), int(stack.data.shape[2])
+    # Pad bottom/right so every static-size slice starts exactly at its rect
+    # origin — no clamping, so content never shifts against corners/sizes.
+    pad_h = max(0, max(r[1] for r in rects) + ch - th)
+    pad_w = max(0, max(r[0] for r in rects) + cw - tw)
+    pad_h = _round_up(pad_h) if pad_h else 0
+    pad_w = _round_up(pad_w) if pad_w else 0
     xy = np.zeros((b, 2), np.int32)
     for i, r in enumerate(rects):
-        # clamp so the static-size slice stays in bounds (content beyond the
-        # true rect is ignored via sizes metadata)
-        xy[i, 0] = min(r[0], stack.data.shape[2] - cw)
-        xy[i, 1] = min(r[1], stack.data.shape[1] - ch)
+        xy[i, 0] = r[0]
+        xy[i, 1] = r[1]
     tiles, masks = _slice_stack_kernel(
-        stack.data, stack.masks, jnp.asarray(xy), ch=ch, cw=cw)
+        stack.data, stack.masks, jnp.asarray(xy), ch=ch, cw=cw,
+        pad_h=pad_h, pad_w=pad_w)
     sizes = np.asarray([(r[2], r[3]) for r in rects[:n]], np.int64)
     return TileStack(tiles, masks, np.asarray(stack.corners), sizes)
 
@@ -260,20 +268,22 @@ def _gain_mul_kernel(tiles, gains):
 @jax.jit
 def _gain_map_kernel(tiles, gmaps, cell0, inv_bs):
     """tiles: (B, TH, TW, C); gmaps: (B, GY, GX, Cg) padded cell gain maps;
-    cell0: (B, 2) f32 — the canvas-cell coordinate of each tile's (0, 0)
-    pixel at APPLY resolution (fractional); inv_bs: f32 cells per pixel.
+    cell0: (B, 2) f32 — each image's sub-block offset (feed_corner % bs)/bs
+    in cells; inv_bs: (B, 2) f32 cells per APPLY-resolution pixel (x, y).
     Bilinear-samples each image's gain map at every pixel (the blocks
-    compensator's gain-map upsample) and multiplies.
+    compensator's gain-map upsample) and multiplies. Sampling convention
+    matches `ExposureErrorCompensator.apply`: apply pixel a maps to feed
+    pixel center (a+0.5)*feed/apply, then to cell coordinate
+    (off + (a+0.5)*ratio)/bs - 0.5 relative to the sub-map origin.
     """
     B, TH, TW = tiles.shape[0], tiles.shape[1], tiles.shape[2]
     GY, GX = gmaps.shape[1], gmaps.shape[2]
 
-    def one(t, g, c0):
+    def one(t, g, c0, ibs):
         cols = jnp.arange(TW, dtype=jnp.float32)[None, :]
         rows = jnp.arange(TH, dtype=jnp.float32)[:, None]
-        # cell-center convention: pixel p sits at cell coord (p+0.5)/bs - 0.5
-        gx = c0[0] + (cols + 0.5) * inv_bs - 0.5 + jnp.zeros((TH, 1))
-        gy = c0[1] + (rows + 0.5) * inv_bs - 0.5 + jnp.zeros((1, TW))
+        gx = c0[0] + (cols + 0.5) * ibs[0] - 0.5 + jnp.zeros((TH, 1))
+        gy = c0[1] + (rows + 0.5) * ibs[1] - 0.5 + jnp.zeros((1, TW))
         gx = jnp.clip(gx, 0.0, GX - 1.0)
         gy = jnp.clip(gy, 0.0, GY - 1.0)
         x0 = jnp.floor(gx)
@@ -289,7 +299,7 @@ def _gain_map_kernel(tiles, gmaps, cell0, inv_bs):
         gain = r0 * (1 - fy) + r1 * fy
         return jnp.clip(jnp.round(t * gain), 0.0, 255.0)
 
-    return jax.vmap(one)(tiles, gmaps, cell0)
+    return jax.vmap(one)(tiles, gmaps, cell0, inv_bs)
 
 
 def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
@@ -309,7 +319,9 @@ def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
 
     # blocks variants
     origin, bs, smoothed = compensator._block_state
-    subs, cell0 = [], np.zeros((b, 2), np.float32)
+    subs = []
+    cell0 = np.zeros((b, 2), np.float32)
+    inv_bs = np.full((b, 2), 1.0 / bs, np.float32)
     for i in range(n):
         gmap = smoothed[i]
         fw, fh = compensator._feed_sizes[i]
@@ -319,7 +331,11 @@ def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
         ncy = -(-(gy0 % bs + fh) // bs)
         ncx = -(-(gx0 % bs + fw) // bs)
         subs.append(gmap[cy0:cy0 + ncy, cx0:cx0 + ncx])
-        cell0[i] = 0.0
+        # sub-block offset of the image's (0,0) pixel inside cell (cy0, cx0)
+        cell0[i] = ((gx0 % bs) / bs, (gy0 % bs) / bs)
+        # cells per APPLY pixel, per image and axis (feed px / apply px / bs)
+        aw, ah = stack.sizes[i]
+        inv_bs[i] = (fw / max(int(aw), 1) / bs, fh / max(int(ah), 1) / bs)
     gy = max(s.shape[0] for s in subs)
     gx = max(s.shape[1] for s in subs)
     cg = subs[0].shape[-1]
@@ -329,13 +345,8 @@ def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
         # edge-replicate so the bilinear taps at image edges stay sane
         gstack[i, s.shape[0]:, :s.shape[1]] = s[-1:, :]
         gstack[i, :, s.shape[1]:] = gstack[i, :, s.shape[1] - 1:s.shape[1]]
-    # cells per pixel at APPLY resolution: feed cells cover feed-size pixels;
-    # the tile is the same content at apply resolution
-    fw0, fh0 = compensator._feed_sizes[0]
-    aw0, ah0 = stack.sizes[0]
-    inv_bs = (fw0 / max(aw0, 1)) / bs
     tiles = _gain_map_kernel(stack.data, jnp.asarray(gstack),
-                             jnp.asarray(cell0), jnp.float32(inv_bs))
+                             jnp.asarray(cell0), jnp.asarray(inv_bs))
     return TileStack(tiles, stack.masks, stack.corners, stack.sizes)
 
 
@@ -657,8 +668,10 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
     offs = np.zeros((b, 2), np.int32)
     shifts = np.zeros((b, 2), np.int32)
     if kind == "multiband":
-        # reference num_bands formula (stitching/blender.py:32), clipped
-        nb = int(np.clip(int(np.log(blend_width) / np.log(2.0) - 1.0), 1, 8))
+        # reference num_bands formula (stitching/blender.py:32): 0 bands for
+        # blend_width in [1, 4) — degenerates to the weighted paste, same as
+        # the component path (`Blender.resolve_backend`); upper clip 8.
+        nb = int(np.clip(int(np.log(blend_width) / np.log(2.0) - 1.0), 0, 8))
         m = 1 << nb
         gap = 3 * m
     else:

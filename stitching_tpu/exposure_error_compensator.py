@@ -15,7 +15,6 @@ import numpy as np
 from .errors import StitchingError
 from .ops.exposure import (compute_block_gains, compute_scalar_gains,
                            smooth_gain_map)
-from .ops.resize import resize as _resize
 
 
 class ExposureErrorCompensator:
@@ -79,8 +78,12 @@ class ExposureErrorCompensator:
             out = out * (g[None, None, :] if len(g) == 3 else g[0])
             return np.clip(np.round(out), 0, 255).astype(img.dtype)
 
-        # blocks variants: bilinear-upsample this image's cell gain map to
-        # the apply resolution (which may differ from feed resolution).
+        # blocks variants: bilinear-sample this image's cell gain map at
+        # every pixel of the apply resolution (which may differ from feed
+        # resolution). Apply pixel a maps to feed pixel center
+        # (a+0.5)*feed/apply, then to cell coordinate
+        # (sub_block_offset + feed_center)/bs - 0.5 in the sub-map — the
+        # same convention as `compose._gain_map_kernel`.
         origin, bs, smoothed = self._block_state
         gmap = smoothed[idx]                       # (ncy, ncx, C)
         h, w = img.shape[:2]
@@ -91,10 +94,20 @@ class ExposureErrorCompensator:
         cy0, cx0 = gy0 // bs, gx0 // bs
         ncy = -(-(gy0 % bs + fh) // bs)
         ncx = -(-(gx0 % bs + fw) // bs)
-        sub = gmap[cy0:cy0 + ncy, cx0:cx0 + ncx]
-        up = _resize(sub.astype(np.float32), (w, h))
-        if up.ndim == 2:
-            up = up[..., None]
+        sub = gmap[cy0:cy0 + ncy, cx0:cx0 + ncx].astype(np.float32)
+        gx = ((gx0 % bs) + (np.arange(w) + 0.5) * (fw / w)) / bs - 0.5
+        gy = ((gy0 % bs) + (np.arange(h) + 0.5) * (fh / h)) / bs - 0.5
+        gx = np.clip(gx, 0.0, ncx - 1.0)
+        gy = np.clip(gy, 0.0, ncy - 1.0)
+        x0 = np.floor(gx).astype(np.int32)
+        y0 = np.floor(gy).astype(np.int32)
+        x1 = np.minimum(x0 + 1, ncx - 1)
+        y1 = np.minimum(y0 + 1, ncy - 1)
+        fx = (gx - x0)[None, :, None]
+        fy = (gy - y0)[:, None, None]
+        r0 = sub[y0][:, x0] * (1 - fx) + sub[y0][:, x1] * fx
+        r1 = sub[y1][:, x0] * (1 - fx) + sub[y1][:, x1] * fx
+        up = r0 * (1 - fy) + r1 * fy
         out = img.astype(np.float32) * (
             up if up.shape[-1] == 3 else up[..., :1])
         return np.clip(np.round(out), 0, 255).astype(img.dtype)

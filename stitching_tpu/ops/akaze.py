@@ -115,7 +115,9 @@ def _hessian_response(u, sigma):
     gx, _ = _grad(u)
     _, uxy_ = _grad(gx)
     uxy = uxy_
-    return (sigma ** 2) * (uxx * uyy - uxy * uxy)
+    # det(H) carries a sigma^2 factor per second derivative -> sigma^4
+    # scale normalization (matches cv::AKAZE's normalized Hessian).
+    return (sigma ** 4) * (uxx * uyy - uxy * uxy)
 
 
 def _mldb_pairs():

@@ -171,9 +171,13 @@ def detect_brisk(gray, mask=None, *, nfeatures=1024, with_mask=False):
         out = _brisk_level(img, region, cap)
         rank = jnp.arange(cap)
         cand["score"].append(out["score"])
+        # jax.image.resize uses half-pixel centers: level pixel x sits at
+        # base coordinate (x + 0.5) * (w / lw) - 0.5 (exact per-axis ratio).
+        sx = w / lw
+        sy = h / lh
         cand["xy"].append(jnp.stack(
-            [out["xs"].astype(jnp.float32) * s,
-             out["ys"].astype(jnp.float32) * s], -1))
+            [(out["xs"].astype(jnp.float32) + 0.5) * sx - 0.5,
+             (out["ys"].astype(jnp.float32) + 0.5) * sy - 0.5], -1))
         cand["angle"].append(out["angle"])
         cand["desc"].append(out["desc"])
         cand["size"].append(jnp.full((cap,), 12.0 * s, jnp.float32))

@@ -260,8 +260,13 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
 
         rank = jnp.arange(k_cap)
         cand["score"].append(jnp.where(ok, top_scores, neg_inf))
+        # half-pixel convention of jax.image.resize: level pixel x sits at
+        # base coordinate (x + 0.5) * (w / lw) - 0.5 (exact per-axis ratio)
+        sx = w / lw
+        sy = h / lh
         cand["xy"].append(jnp.stack(
-            [xs.astype(jnp.float32) * scale, ys.astype(jnp.float32) * scale],
+            [(xs.astype(jnp.float32) + 0.5) * sx - 0.5,
+             (ys.astype(jnp.float32) + 0.5) * sy - 0.5],
             axis=-1))
         cand["angle"].append(ang)
         cand["desc"].append(desc)

@@ -1,0 +1,50 @@
+"""Engine compositing kernels: content-exact slicing and gain application."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stitching_tpu.compose import TileStack, slice_stack
+
+
+def _stack_from(arrs):
+    b = len(arrs)
+    th = max(a.shape[0] for a in arrs)
+    tw = max(a.shape[1] for a in arrs)
+    data = np.zeros((b, th, tw, 3), np.float32)
+    masks = np.zeros((b, th, tw), np.float32)
+    sizes = np.zeros((b, 2), np.int64)
+    for i, a in enumerate(arrs):
+        h, w = a.shape[:2]
+        data[i, :h, :w] = a
+        masks[i, :h, :w] = 255
+        sizes[i] = (w, h)
+    return TileStack(jnp.asarray(data), jnp.asarray(masks),
+                     np.zeros((b, 2), np.int64), sizes)
+
+
+def test_slice_stack_content_exact():
+    """Rect origins beyond (tile_dim - bucketed_crop_dim) must still slice
+    the true content (regression: clamped origins shifted the content)."""
+    # tile 1024 wide; rects (0,0,900,200) and (500,0,200,200): the second
+    # rect's 128-bucketed width (256) once clamped used to start at col 0.
+    base = np.zeros((256, 1024, 3), np.float32)
+    base[:, :, 0] = np.arange(1024)[None, :]  # column index in channel 0
+    stack = _stack_from([base, base])
+    rects = [(0, 0, 900, 200), (500, 0, 200, 200)]
+    out = slice_stack(stack, rects)
+    got0 = np.asarray(out.data[0, :200, :900, 0])
+    got1 = np.asarray(out.data[1, :200, :200, 0])
+    np.testing.assert_allclose(got0, base[:200, :900, 0])
+    np.testing.assert_allclose(got1, base[:200, 500:700, 0])
+    assert tuple(out.sizes[0]) == (900, 200)
+    assert tuple(out.sizes[1]) == (200, 200)
+
+
+def test_slice_stack_bottom_right_rect():
+    """A rect flush against the bottom/right edge is content-exact."""
+    base = np.zeros((200, 300, 3), np.float32)
+    base[:, :, 1] = np.arange(200)[:, None]  # row index in channel 1
+    stack = _stack_from([base])
+    out = slice_stack(stack, [(250, 150, 50, 50)])
+    got = np.asarray(out.data[0, :50, :50, 1])
+    np.testing.assert_allclose(got, base[150:200, 250:300, 1])
