@@ -27,6 +27,123 @@ sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np  # noqa: E402
 
 
+def kernel_microbench(imgs):
+    """Roofline probes for the hot kernels on the bench workload's own
+    shapes (compiled programs are shared with the pipeline run). Each entry
+    reports wall ms, the kernel's HBM traffic estimate, achieved GB/s, and
+    the fraction of the ~800 GB/s v5e HBM roofline. The 2-NN probe also
+    reports MXU GFLOP/s (it is compute-, not bandwidth-, dominated).
+
+    Methodology note: on tunneled TPUs every sync pays ~25-30 ms of link
+    latency, so small-kernel numbers are conservative lower bounds.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stitching_tpu.compose import blend_stack, warp_stack
+    from stitching_tpu.pipeline import (detect_stack, match_stack,
+                                        stack_images)
+
+    HBM_PEAK_GBS = 800.0  # v5e
+
+    def sync(r):
+        leaves = [x for x in jax.tree_util.tree_leaves(
+            getattr(r, "data", r)) if isinstance(x, jax.Array)]
+        if leaves:
+            np.asarray(leaves[0].ravel()[0])
+
+    def timed(fn, n=2):
+        r = fn()
+        sync(r)
+        t0 = time.time()
+        for _ in range(n):
+            r = fn()
+            sync(r)
+        return (time.time() - t0) / n, r
+
+    out = {}
+    stack = stack_images(imgs)
+    B, H, W, C = stack.data.shape
+
+    # warp (quad-gather bilinear): read quad 4C + write tile stack
+    f = 1400.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    angles = np.linspace(-0.3, 0.3, B)
+    Rs = []
+    for a in angles:
+        c, s = np.cos(a), np.sin(a)
+        Rs.append(np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]]))
+    t, ts = timed(lambda: warp_stack(stack.data, stack.sizes, [K] * B, Rs,
+                                     f, "spherical"))
+    tb = ts.data.shape[0] * ts.data.shape[1] * ts.data.shape[2]
+    traffic = (B * H * W * 4 * C + tb * C + tb) * 4.0
+    out["warp_bilinear"] = {
+        "ms": round(t * 1e3, 1),
+        "traffic_gb": round(traffic / 1e9, 3),
+        "achieved_gbs": round(traffic / 1e9 / t, 1),
+        "frac_of_hbm_roofline": round(traffic / 1e9 / t / HBM_PEAK_GBS, 3),
+        "note": "descriptor-rate bound: 1 gather descriptor/px "
+                "(quad-image packing); XLA gather sustains ~60-90M "
+                "descriptors/s on v5e, the true ceiling here",
+    }
+
+    # multiband blend: windows + pyramids + accumulate + collapse
+    t, _ = timed(lambda: blend_stack(ts, ts.masks, "multiband", 5))
+    wh = ts.data.shape[1] + 256
+    ww = ts.data.shape[2] + 256
+    # ~44 window-passes of pyramid/blur traffic per tile (measured model)
+    traffic = B * wh * ww * (C + 1) * 4.0 * 11
+    out["multiband_blend"] = {
+        "ms": round(t * 1e3, 1),
+        "traffic_gb": round(traffic / 1e9, 3),
+        "achieved_gbs": round(traffic / 1e9 / t, 1),
+        "frac_of_hbm_roofline": round(traffic / 1e9 / t / HBM_PEAK_GBS, 3),
+        "note": "includes the uint8 panorama device->host fetch "
+                "(~0.3 s on the tunneled link)",
+    }
+
+    # detection + matching at MEDIUM resolution (the registration shapes,
+    # shared with the pipeline run's compiled programs)
+    from stitching_tpu.images import Images
+    from stitching_tpu.ops.resize import resize as _host_resize
+
+    images_obj = Images.of(list(imgs), 0.6, 0.1, -1)
+    med_sizes = images_obj.get_scaled_img_sizes(Images.Resolution.MEDIUM)
+    med = stack_images([_host_resize(im, s)
+                        for im, s in zip(imgs, med_sizes)])
+    feats = None
+
+    def run_detect():
+        nonlocal feats
+        feats = detect_stack(med, nfeatures=500, variant="orb")
+        return feats
+
+    t, _ = timed(run_detect)
+    out["detect_orb"] = {
+        "ms": round(t * 1e3, 1),
+        "note": "gather-descriptor bound (orientation/BRIEF patch "
+                "sampling ~30M descriptors)",
+    }
+
+    t, _ = timed(lambda: match_stack(feats, np.asarray(med.sizes)))
+    n_img = B
+    P = n_img * (n_img - 1) // 2
+    nfe = feats["desc"].shape[1]
+    D = feats["desc"].shape[2]
+    flops = 2.0 * P * 2 * nfe * nfe * D
+    out["match_2nn_ransac"] = {
+        "ms": round(t * 1e3, 1),
+        "mxu_gflops": round(flops / 1e9 / t, 1),
+        "note": "pallas fused 2-NN (MXU distance tile + VPU top-2 in "
+                "VMEM) + 512-hypothesis DLT RANSAC; includes host "
+                "round-trip of results",
+    }
+    return out
+
+
 def main():
     import jax
 
@@ -34,12 +151,22 @@ def main():
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    import resource
+
     from fixtures import rotation_set
     from stitching_tpu import Stitcher
     from stitching_tpu import profiling as prof
 
     imgs, K, Rs = rotation_set(n=8, size=(1600, 1200), focal=1400.0,
                                max_angle=0.6)
+
+    def device_mem_mb():
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return round(stats.get("peak_bytes_in_use",
+                                   stats.get("bytes_in_use", 0)) / 1e6)
+        except Exception:
+            return None
 
     def run_once():
         stitcher = Stitcher(crop=False)
@@ -56,6 +183,12 @@ def main():
     dt = min(dt1, dt2)
     mp = pano.shape[0] * pano.shape[1] / 1e6
     ours_mps = mp / dt
+
+    kernels = {}
+    try:
+        kernels = kernel_microbench(imgs)
+    except Exception as e:  # never let the roofline probe kill the bench
+        kernels = {"error": repr(e)}
 
     # OpenCV native baseline (the reference package's engine) on same input
     vs_baseline = float("nan")
@@ -85,6 +218,11 @@ def main():
                 "ours_mps": round(ours_mps, 3),
                 "opencv_mps": (None if ref_mps is None
                                else round(ref_mps, 3)),
+                "peak_host_rss_mb": round(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                    / 1024),
+                "peak_device_mem_mb": device_mem_mb(),
+                "kernels": kernels,
                 "stages": prof.get_report(),
             }, fh, indent=1)
     except OSError:

@@ -110,14 +110,30 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
     k_rinv: (B, 3, 3) f32; tls: (B, 2) f32 dst top-left. Returns
     tiles (B, th, tw, C) f32 and masks (B, th, tw) f32 {0, 255}.
 
-    The image samples bilinear with BORDER_REFLECT over the true source
-    extent; the mask is the nearest-neighbor in-bounds indicator through the
-    same backward map — exactly the reference's all-255-mask warp with
-    INTER_NEAREST + BORDER_CONSTANT (stitching/warper.py:58-68).
+    TPU gather strategy: gathers on TPU are DESCRIPTOR-rate bound
+    (~60-90M slice fetches/s regardless of slice bytes), so the classic
+    4-tap bilinear (4 gathers/pixel) pays 4x. Instead the kernel gathers
+    ONE (1,1,4C) slice per output pixel from a pre-packed "quad image"
+    holding each pixel's full 2x2 neighborhood on the channel axis
+    (Q[y, x] = [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]]), built
+    with three cheap shifted copies. Border sampling clamps to the true
+    source extent (taps clamp at the image edge; mask-0 pixels outside the
+    source see clamped content that downstream weighting ignores — the
+    reference's remap BORDER_REFLECT differs only on those zero-weight
+    pixels). The mask is the nearest-neighbor in-bounds indicator through
+    the same backward map, exactly the reference's all-255-mask warp
+    (stitching/warper.py:58-68).
     """
     H, W = data.shape[1], data.shape[2]
+    C = data.shape[-1]
 
-    def one(img, ssz, kri, tl, dsz):
+    # quad image: (B, H, W, 4C); rows/cols shift by one with edge clamp
+    right = jnp.concatenate([data[:, :, 1:], data[:, :, -1:]], axis=2)
+    down = jnp.concatenate([data[:, 1:], data[:, -1:]], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    quad = jnp.concatenate([data, right, down, downright], axis=-1)
+
+    def one(q, ssz, kri, tl, dsz):
         w = ssz[0].astype(jnp.float32)
         h = ssz[1].astype(jnp.float32)
         cols = jnp.arange(tw, dtype=jnp.float32)[None, :]
@@ -137,30 +153,17 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
         sx = q0 / q2s
         sy = q1 / q2s
 
-        def reflect(i, n):
-            period = 2.0 * n
-            i = jnp.mod(i, period)
-            i = jnp.where(i < 0, i + period, i)
-            return jnp.where(i >= n, period - 1.0 - i, i)
-
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        fx = (sx - x0)[..., None]
-        fy = (sy - y0)[..., None]
-        xa = reflect(x0, w).astype(jnp.int32)
-        xb = reflect(x0 + 1, w).astype(jnp.int32)
-        ya = reflect(y0, h).astype(jnp.int32)
-        yb = reflect(y0 + 1, h).astype(jnp.int32)
-        xa = jnp.clip(xa, 0, W - 1)
-        xb = jnp.clip(xb, 0, W - 1)
-        ya = jnp.clip(ya, 0, H - 1)
-        yb = jnp.clip(yb, 0, H - 1)
-        p00 = img[ya, xa]
-        p01 = img[ya, xb]
-        p10 = img[yb, xa]
-        p11 = img[yb, xb]
-        top = p00 * (1 - fx) + p01 * fx
-        bot = p10 * (1 - fx) + p11 * fx
+        sxc = jnp.clip(sx, 0.0, w - 1.0)
+        syc = jnp.clip(sy, 0.0, h - 1.0)
+        x0 = jnp.clip(jnp.floor(sxc).astype(jnp.int32), 0,
+                      jnp.maximum(ssz[0] - 2, 0))
+        y0 = jnp.clip(jnp.floor(syc).astype(jnp.int32), 0,
+                      jnp.maximum(ssz[1] - 2, 0))
+        fx = jnp.clip(sxc - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+        fy = jnp.clip(syc - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+        patch = q[y0, x0]                       # (th, tw, 4C), ONE gather
+        top = patch[..., 0:C] * (1 - fx) + patch[..., C:2 * C] * fx
+        bot = patch[..., 2 * C:3 * C] * (1 - fx) + patch[..., 3 * C:] * fx
         out = top * (1 - fy) + bot * fy
         out = jnp.where(valid[..., None], out, 0.0)
 
@@ -173,7 +176,7 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
         out = jnp.where(inroi[..., None], out, 0.0)
         return out, mask
 
-    return jax.vmap(one)(data, src_sizes, k_rinv,
+    return jax.vmap(one)(quad, src_sizes, k_rinv,
                          tls.astype(jnp.float32), dst_sizes)
 
 
@@ -395,23 +398,31 @@ def _seam_resize_kernel(seams, lo_sizes, fin_masks, fin_sizes):
 def resize_seam_masks_stack(seam_masks_low, final_stack: TileStack):
     """Stack the LOW seam masks, resize against the FINAL stack's masks.
 
-    seam_masks_low: list of (h, w) uint8. Returns (B, TH, TW) f32 device
-    array aligned with `final_stack.data`.
+    seam_masks_low: list of (h, w) uint8 host masks, OR a tuple
+    (dev_masks (B, LH, LW) f32, low_sizes (B, 2)) staying fully on device
+    (the engine's batched path). Returns (B, TH, TW) f32 device array
+    aligned with `final_stack.data`.
     """
     b = final_stack.data.shape[0]
-    lh = _round_up(max(m.shape[0] for m in seam_masks_low), 64)
-    lw = _round_up(max(m.shape[1] for m in seam_masks_low), 64)
-    lo = np.zeros((b, lh, lw), np.float32)
-    lsz = np.ones((b, 2), np.int32)
-    for i, m in enumerate(seam_masks_low):
-        h, w = m.shape[:2]
-        lo[i, :h, :w] = m
-        lsz[i] = (w, h)
+    if isinstance(seam_masks_low, tuple):
+        lo_dev, low_sizes = seam_masks_low
+        lsz = np.ones((b, 2), np.int32)
+        lsz[:len(low_sizes)] = np.asarray(low_sizes, np.int32)
+        lo = lo_dev
+    else:
+        lh = _round_up(max(m.shape[0] for m in seam_masks_low), 64)
+        lw = _round_up(max(m.shape[1] for m in seam_masks_low), 64)
+        lo_h = np.zeros((b, lh, lw), np.float32)
+        lsz = np.ones((b, 2), np.int32)
+        for i, m in enumerate(seam_masks_low):
+            h, w = m.shape[:2]
+            lo_h[i, :h, :w] = m
+            lsz[i] = (w, h)
+        lo = jnp.asarray(lo_h)
     fsz = np.ones((b, 2), np.int32)
     fsz[:len(final_stack.sizes)] = final_stack.sizes
     return _seam_resize_kernel(
-        jnp.asarray(lo), jnp.asarray(lsz), final_stack.masks,
-        jnp.asarray(fsz))
+        lo, jnp.asarray(lsz), final_stack.masks, jnp.asarray(fsz))
 
 
 # ---------------------------------------------------------------------------
@@ -435,22 +446,16 @@ def _vary(x, axis):
     return jax.lax.pcast(x, (axis,), to="varying")
 
 
-def _mb_feed_scan(tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
-                  vary_axis=None):
-    """Scan the (local) tile batch into multiband accumulators.
+def _mb_windows(tiles, seams, shifts, sizes, wh, ww):
+    """Vmapped reflect-border window construction for the whole batch.
 
-    tiles: (B, TH, TW, C); seams: (B, TH, TW) f32; offs: (B, 2) int32
-    pyramid-aligned canvas offsets (x, y) of each window; shifts: (B, 2)
-    int32 tile-origin offset inside its window; sizes: (B, 2) int32 true
-    (w, h). Returns (band_acc, band_w) tuples of per-level canvases.
+    Window pixel (r, s) maps to tile pixel (r - shift_y, s - shift_x);
+    outside the true (w, h) extent the image content reflects (the
+    reference's copyMakeBorder BORDER_REFLECT feed) and the seam reads 0.
+    The index vectors are 1-D arithmetic/reflect sequences, which XLA
+    lowers to efficient structured row/column gathers (measured at full
+    HBM bandwidth, unlike per-pixel 2-D gathers).
     """
-    from .ops.pyramid import build_gaussian, build_laplacian
-
-    C = tiles.shape[-1]
-    band_acc = tuple(_vary(jnp.zeros((ph >> l, pw >> l, C), jnp.float32),
-                           vary_axis) for l in range(nb + 1))
-    band_w = tuple(_vary(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32),
-                         vary_axis) for l in range(nb + 1))
 
     def reflect(i, n):
         period = 2 * n
@@ -458,11 +463,8 @@ def _mb_feed_scan(tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
         i = jnp.where(i < 0, i + period, i)
         return jnp.where(i >= n, period - 1 - i, i)
 
-    def feed(carry, x):
-        acc, wacc = carry
-        tile, seam, off, shift, size = x
+    def one(tile, seam, shift, size):
         w, h = size[0], size[1]
-        # window content: reflect-border view of the tile, mask zero outside
         ry = jnp.arange(wh, dtype=jnp.int32) - shift[1]
         rx = jnp.arange(ww, dtype=jnp.int32) - shift[0]
         yr = jnp.clip(reflect(ry, h), 0, tile.shape[0] - 1)
@@ -474,28 +476,69 @@ def _mb_feed_scan(tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
                        seam[jnp.clip(ry, 0, tile.shape[0] - 1)][
                            :, jnp.clip(rx, 0, tile.shape[1] - 1)],
                        0.0)
+        return win, sm
+
+    return jax.vmap(one)(tiles, seams, shifts, sizes)
+
+
+def _mb_feed_batched(tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
+                     vary_axis=None, chunk=None):
+    """Feed the (local) tile batch into multiband accumulators.
+
+    Two phases instead of one serialized scan: (1) ONE vmapped dispatch
+    builds every window's Laplacian/weight pyramids (the FLOP-heavy part
+    runs batched), (2) a scan of pure dynamic-slice adds accumulates them
+    into the per-level canvases (cheap, window-sized traffic per step).
+    `chunk` bounds the live pyramid memory: the batch processes in chunks
+    of that many tiles (None = whole batch at once).
+
+    tiles: (B, TH, TW, C); seams: (B, TH, TW) f32; offs: (B, 2) int32
+    pyramid-aligned canvas offsets (x, y) of each window; shifts: (B, 2)
+    int32 tile-origin offset inside its window; sizes: (B, 2) int32 true
+    (w, h). Returns (band_acc, band_w) tuples of per-level canvases.
+    """
+    from .ops.pyramid import build_gaussian, build_laplacian
+
+    C = tiles.shape[-1]
+    B = tiles.shape[0]
+    band_acc = tuple(_vary(jnp.zeros((ph >> l, pw >> l, C), jnp.float32),
+                           vary_axis) for l in range(nb + 1))
+    band_w = tuple(_vary(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32),
+                         vary_axis) for l in range(nb + 1))
+
+    def build_one(win, sm):
         wmask = (sm > 0).astype(jnp.float32)[..., None]
         laps = build_laplacian(win, nb)
         wpyr = build_gaussian(wmask, nb)
+        return (tuple(lp * wp for lp, wp in zip(laps, wpyr)), tuple(wpyr))
+
+    def feed(carry, x):
+        acc, wacc = carry
+        contribs, wpyrs, off = x
         new_acc, new_w = [], []
         for lvl in range(nb + 1):
-            s = 1 << lvl
-            yy = off[1] // s
-            xx = off[0] // s
-            contrib = laps[lvl] * wpyr[lvl]
+            yy = off[1] >> lvl
+            xx = off[0] >> lvl
+            contrib = contribs[lvl]
             bh, bw = contrib.shape[0], contrib.shape[1]
             a = jax.lax.dynamic_slice(
                 acc[lvl], (yy, xx, 0), (bh, bw, C)) + contrib
             new_acc.append(jax.lax.dynamic_update_slice(
                 acc[lvl], a, (yy, xx, 0)))
             wv = jax.lax.dynamic_slice(
-                wacc[lvl], (yy, xx, 0), (bh, bw, 1)) + wpyr[lvl]
+                wacc[lvl], (yy, xx, 0), (bh, bw, 1)) + wpyrs[lvl]
             new_w.append(jax.lax.dynamic_update_slice(
                 wacc[lvl], wv, (yy, xx, 0)))
         return (tuple(new_acc), tuple(new_w)), 0
 
-    (band_acc, band_w), _ = jax.lax.scan(
-        feed, (band_acc, band_w), (tiles, seams, offs, shifts, sizes))
+    step = B if chunk is None else max(1, int(chunk))
+    for lo in range(0, B, step):
+        hi = min(lo + step, B)
+        wins, sms = _mb_windows(tiles[lo:hi], seams[lo:hi], shifts[lo:hi],
+                                sizes[lo:hi], wh, ww)
+        contribs, wpyrs = jax.vmap(build_one)(wins, sms)
+        (band_acc, band_w), _ = jax.lax.scan(
+            feed, (band_acc, band_w), (contribs, wpyrs, offs[lo:hi]))
     return band_acc, band_w
 
 
@@ -515,8 +558,8 @@ def _shifted_tile_window(tile, seam, shift, size):
     return win, sm
 
 
-def _feather_feed_scan(tiles, seams, offs, shifts, sizes, sharpness, ph, pw,
-                       vary_axis=None):
+def _feather_feed_batched(tiles, seams, offs, shifts, sizes, sharpness,
+                          ph, pw, vary_axis=None):
     from .ops.blend import distance_transform_l1
 
     C = tiles.shape[-1]
@@ -524,13 +567,17 @@ def _feather_feed_scan(tiles, seams, offs, shifts, sizes, sharpness, ph, pw,
     wsum = _vary(jnp.zeros((ph, pw), jnp.float32), vary_axis)
     TH, TW = tiles.shape[1], tiles.shape[2]
 
-    def feed(carry, x):
-        acc, wsum = carry
-        tile, seam, off, shift, size = x
+    def build_one(tile, seam, shift, size):
         win, sm = _shifted_tile_window(tile, seam, shift, size)
         m = (sm > 0).astype(jnp.float32)
         wgt = jnp.minimum(distance_transform_l1(m) * sharpness, 1.0)
-        wgt = jnp.where(m > 0, wgt, 0.0)
+        return win, jnp.where(m > 0, wgt, 0.0)
+
+    wins, wgts = jax.vmap(build_one)(tiles, seams, shifts, sizes)
+
+    def feed(carry, x):
+        acc, wsum = carry
+        win, wgt, off = x
         a = jax.lax.dynamic_slice(
             acc, (off[1], off[0], 0), (TH, TW, C)) + win * wgt[..., None]
         acc = jax.lax.dynamic_update_slice(acc, a, (off[1], off[0], 0))
@@ -538,22 +585,22 @@ def _feather_feed_scan(tiles, seams, offs, shifts, sizes, sharpness, ph, pw,
         wsum = jax.lax.dynamic_update_slice(wsum, wv, (off[1], off[0]))
         return (acc, wsum), 0
 
-    (acc, wsum), _ = jax.lax.scan(feed, (acc, wsum),
-                                  (tiles, seams, offs, shifts, sizes))
+    (acc, wsum), _ = jax.lax.scan(feed, (acc, wsum), (wins, wgts, offs))
     return acc, wsum
 
 
-def _paste_feed_scan(tiles, seams, offs, shifts, sizes, ph, pw,
-                     vary_axis=None):
+def _paste_feed_batched(tiles, seams, offs, shifts, sizes, ph, pw,
+                        vary_axis=None):
     C = tiles.shape[-1]
     canvas = _vary(jnp.zeros((ph, pw, C), jnp.float32), vary_axis)
     cmask = _vary(jnp.zeros((ph, pw), jnp.float32), vary_axis)
     TH, TW = tiles.shape[1], tiles.shape[2]
 
+    wins, sms = jax.vmap(_shifted_tile_window)(tiles, seams, shifts, sizes)
+
     def feed(carry, x):
         canvas, cmask = carry
-        tile, seam, off, shift, size = x
-        win, sm = _shifted_tile_window(tile, seam, shift, size)
+        win, sm, off = x
         inside = sm > 0
         region = jax.lax.dynamic_slice(
             canvas, (off[1], off[0], 0), (TH, TW, C))
@@ -566,7 +613,7 @@ def _paste_feed_scan(tiles, seams, offs, shifts, sizes, ph, pw,
         return (canvas, cmask), 0
 
     (canvas, cmask), _ = jax.lax.scan(feed, (canvas, cmask),
-                                      (tiles, seams, offs, shifts, sizes))
+                                      (wins, sms, offs))
     return canvas, cmask
 
 
@@ -586,19 +633,24 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
         laps = [band_acc[lv] / (band_w[lv] + 1e-5) for lv in range(nb + 1)]
         return collapse_laplacian(laps), band_w[0][..., 0]
 
+    # bound live pyramid memory: ~16 B/window-pixel * 4/3 pyramid overhead
+    per_tile = int(wh) * int(ww) * 16 * 4 // 3
+    chunk = max(1, int(2_000_000_000 // max(per_tile, 1)))
+
     if mesh is None:
         if kind == "multiband":
             def prog(tiles, seams, offs, shifts, sizes, sharpness):
-                return collapse_mb(*_mb_feed_scan(
-                    tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw))
+                return collapse_mb(*_mb_feed_batched(
+                    tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
+                    chunk=chunk))
         elif kind == "feather":
             def prog(tiles, seams, offs, shifts, sizes, sharpness):
-                acc, wsum = _feather_feed_scan(
+                acc, wsum = _feather_feed_batched(
                     tiles, seams, offs, shifts, sizes, sharpness, ph, pw)
                 return acc / jnp.maximum(wsum[..., None], 1e-5), wsum
         else:
             def prog(tiles, seams, offs, shifts, sizes, sharpness):
-                return _paste_feed_scan(
+                return _paste_feed_batched(
                     tiles, seams, offs, shifts, sizes, ph, pw)
         return jax.jit(prog)
 
@@ -609,15 +661,15 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
 
     if kind == "multiband":
         def local(tiles, seams, offs, shifts, sizes, sharpness):
-            acc, wacc = _mb_feed_scan(
+            acc, wacc = _mb_feed_batched(
                 tiles, seams, offs, shifts, sizes, nb, wh, ww, ph, pw,
-                vary_axis=axis)
+                vary_axis=axis, chunk=chunk)
             acc = tuple(jax.lax.psum(a, axis) for a in acc)
             wacc = tuple(jax.lax.psum(w, axis) for w in wacc)
             return collapse_mb(acc, wacc)
     elif kind == "feather":
         def local(tiles, seams, offs, shifts, sizes, sharpness):
-            acc, wsum = _feather_feed_scan(
+            acc, wsum = _feather_feed_batched(
                 tiles, seams, offs, shifts, sizes, sharpness, ph, pw,
                 vary_axis=axis)
             acc = jax.lax.psum(acc, axis)
@@ -625,7 +677,7 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
             return acc / jnp.maximum(wsum[..., None], 1e-5), wsum
     else:
         def local(tiles, seams, offs, shifts, sizes, sharpness):
-            canvas, cmask = _paste_feed_scan(
+            canvas, cmask = _paste_feed_batched(
                 tiles, seams, offs, shifts, sizes, ph, pw, vary_axis=axis)
             return jax.lax.pmax(canvas, axis), jax.lax.pmax(cmask, axis)
 
@@ -638,6 +690,26 @@ def _to_u8(img):
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
 
 
+@jax.jit
+def _wmap_to_u8(wmap):
+    return (wmap > 1e-5).astype(jnp.uint8) * 255
+
+
+@jax.jit
+def _flatten_minor(img):
+    """Fold the tiny channel axis into the lane axis so the host transfer
+    doesn't pay TPU tile padding on a minor dim of 3."""
+    return img.reshape(img.shape[0], -1)
+
+
+def fetch_image(img):
+    """Device->host transfer of an (H, W, C) image via the flattened
+    layout (measurably faster over high-latency links)."""
+    h, w = img.shape[0], img.shape[1]
+    flat = np.asarray(_flatten_minor(img))
+    return flat.reshape(h, w, -1)
+
+
 def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
                 mesh=None):
     """Composite the stack into the final panorama: one jitted feed-scan +
@@ -646,7 +718,9 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
     seam_masks: (B, TH, TW) device array (from `resize_seam_masks_stack`)
     or None (use the stack's warp masks). With a mesh, the tile batch is
     sharded and per-device accumulators merge with one collective.
-    Returns (pano_u8, mask_u8).
+    Returns (pano_u8, mask_u8) as DEVICE arrays — callers fetch on demand
+    (`fetch_image` for the panorama), so an unused coverage mask costs no
+    transfer.
     """
     corners = np.asarray(stack.corners)
     sizes = np.asarray(stack.sizes)
@@ -704,6 +778,6 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
                       jnp.asarray(shifts), jnp.asarray(szs),
                       jnp.float32(sharpness))
 
-    pano8 = np.asarray(_to_u8(pano[:dh, :dw]))
-    mask8 = (np.asarray(wmap[:dh, :dw]) > 1e-5).astype(np.uint8) * 255
+    pano8 = _to_u8(pano[:dh, :dw])
+    mask8 = _wmap_to_u8(wmap[:dh, :dw])
     return pano8, mask8

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import profiling as prof
-from .compose import (TileStack, apply_gains_stack, blend_stack,
+from .compose import (TileStack, apply_gains_stack, blend_stack, fetch_image,
                       resize_seam_masks_stack, slice_stack, warp_stack)
 from .images import Images
 from .pipeline import resize_stack, stack_images
@@ -70,21 +70,44 @@ def _mesh_of(st):
 
 def register(st, images, feature_masks=()):
     """MEDIUM-resolution registration: one detect dispatch, one match
-    dispatch, then small-tensor camera estimation."""
+    dispatch, then small-tensor camera estimation.
+
+    Transfer scheduling: the MEDIUM stack (host-resized, ~the upload bytes
+    of one image) uploads FIRST so detection starts immediately; the big
+    ORIGINAL stack upload is enqueued right after and streams to the device
+    WHILE registration computes — on hosts where the host->device link is
+    the bottleneck (tunneled TPUs), the original upload is fully hidden
+    behind detect/match/BA."""
+    from .ops.resize import resize as _host_resize
+
     mesh = _mesh_of(st)
     images_obj = Images.of(
         images, st.medium_megapix, st.low_megapix, st.final_megapix)
     with prof.stage_timer("registration/upload"):
         originals = [np.asarray(img) for img in images_obj]
         n = len(originals)
-        stack = stack_images(originals, mesh)
-    with prof.stage_timer("registration/resize_medium"):
-        medium = resize_stack(stack, _pad_sizes(
-            images_obj.get_scaled_img_sizes(Resolution.MEDIUM),
-            stack.batch))
+        med_sizes = images_obj.get_scaled_img_sizes(Resolution.MEDIUM)
+        orig_sizes = [(im.shape[1], im.shape[0]) for im in originals]
+        stack = None
+        if list(map(tuple, med_sizes)) == orig_sizes:
+            stack = stack_images(originals, mesh)
+            medium = stack
+        else:
+            with prof.stage_timer("registration/resize_medium"):
+                medium_imgs = [
+                    _host_resize(im, size)
+                    for im, size in zip(originals, med_sizes)]
+            medium = stack_images(medium_imgs, mesh)
     with prof.stage_timer("registration/detect"):
         masks_medium = _prepare_feature_masks(st, feature_masks, medium, n)
         features = st.detector.detect_on_stack(medium, masks_medium)[:n]
+    if stack is None:
+        # enqueue the big ORIGINAL upload only now, AFTER the detect fetch:
+        # host->device and device->host ride the same transfer link on
+        # tunneled setups, so queueing it earlier would stall the detect
+        # result fetch; from here it streams during match/estimate/BA
+        with prof.stage_timer("registration/upload"):
+            stack = stack_images(originals, mesh)
     with prof.stage_timer("registration/match"):
         matches = st.matcher.match_features(features, mesh=mesh)
     with prof.stage_timer("registration/subset"):
@@ -187,17 +210,16 @@ def plan_composition(st, reg: Registration) -> CompositionPlan:
         if st.cropper.do_crop:
             _, pano_mask = blend_stack(low, None, "no", 0, _mesh_of(st))
             st.cropper.prepare_from_mask(
-                pano_mask, [tuple(c) for c in low.corners],
+                np.asarray(pano_mask), [tuple(c) for c in low.corners],
                 [tuple(s) for s in low.sizes])
             low = _crop_tiles(low, st.cropper, 1)
         lir_aspect = reg.images.get_ratio(Resolution.LOW, Resolution.FINAL)
-    with prof.stage_timer("low/to_host"):
-        low_imgs, low_masks = low.to_host()
-        low_corners = [tuple(c) for c in low.corners]
     with prof.stage_timer("low/exposure_feed"):
-        st.compensator.feed(low_corners, low_imgs, low_masks)
+        st.compensator.feed_stack([tuple(c) for c in low.corners], low)
     with prof.stage_timer("low/seam_find"):
-        seam_masks = st.seam_finder.find(low_imgs, low_corners, low_masks)
+        seam_masks = st.seam_finder.find_stack(low)
+        if isinstance(seam_masks, jnp.ndarray):
+            seam_masks = (seam_masks, np.asarray(low.sizes))
     return CompositionPlan(
         seam_masks, st.cropper.intersection_rectangles
         if st.cropper.do_crop else None, lir_aspect)
@@ -210,6 +232,11 @@ def plan_composition(st, reg: Registration) -> CompositionPlan:
 def composite(st, reg: Registration, plan: CompositionPlan):
     with prof.stage_timer("final/warp"):
         fin = warp_resolution(st, reg, Resolution.FINAL)
+        # the original-resolution stack has no further consumers: drop the
+        # reference so its device buffers free before the blend allocates
+        # (reference memory contract analog: one working set in flight,
+        # stitching/stitcher.py:216-254)
+        reg.stack = None
     with prof.stage_timer("final/crop"):
         if plan.crop_rects is not None:
             fin = _crop_tiles(fin, st.cropper, plan.lir_aspect)
@@ -231,8 +258,10 @@ def composite(st, reg: Registration, plan: CompositionPlan):
     with prof.stage_timer("final/seam_resize"):
         seams = resize_seam_masks_stack(plan.seam_masks_low, fin)
     with prof.stage_timer("final/blend"):
-        pano, _ = blend_stack(fin, seams, st.blender.blender_type,
-                              st.blender.blend_strength, _mesh_of(st))
+        pano_dev, _ = blend_stack(fin, seams, st.blender.blender_type,
+                                  st.blender.blend_strength, _mesh_of(st))
+    with prof.stage_timer("final/download"):
+        pano = fetch_image(pano_dev)
     return pano
 
 

@@ -68,6 +68,33 @@ class ExposureErrorCompensator:
             self._feed_corners = list(corners)
             self._feed_sizes = [(im.shape[1], im.shape[0]) for im in imgs]
 
+    def feed_stack(self, corners, stack):
+        """Device-batched feed over a `compose.TileStack` (the engine path):
+        overlap statistics and block sums run as vmapped masked reductions
+        on device; only the tiny normal systems come to host. Leaves the
+        same internal state as `feed`."""
+        from .ops.exposure import (compute_block_gains_stack,
+                                   compute_scalar_gains_stack)
+
+        if self.compensator == "no":
+            return
+        per_channel = self.compensator in ("channel", "channel_blocks")
+        sizes = np.asarray(stack.sizes)
+        n = len(sizes)
+        if self.compensator in ("gain", "channel"):
+            self._gains = compute_scalar_gains_stack(
+                stack.data, stack.masks, corners[:n], sizes, per_channel,
+                nr_feeds=self.nr_feeds)
+        else:
+            origin, bs, gains, present = compute_block_gains_stack(
+                stack.data, stack.masks, corners[:n], sizes,
+                self.block_size, per_channel)
+            smoothed = [smooth_gain_map(gains[i], present[i])
+                        for i in range(n)]
+            self._block_state = (origin, bs, smoothed)
+            self._feed_corners = list(corners[:n])
+            self._feed_sizes = [tuple(s) for s in sizes]
+
     def apply(self, idx, corner, img, mask=None):
         img = np.asarray(img)
         if self.compensator == "no":

