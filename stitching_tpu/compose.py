@@ -27,6 +27,7 @@ compilations, amortized across runs by the persistent compilation cache.
 
 import dataclasses
 import functools
+import os
 from functools import partial
 
 import jax
@@ -633,9 +634,14 @@ def _blend_program(kind, nb, wh, ww, ph, pw, mesh, axis="i"):
         laps = [band_acc[lv] / (band_w[lv] + 1e-5) for lv in range(nb + 1)]
         return collapse_laplacian(laps), band_w[0][..., 0]
 
-    # bound live pyramid memory: ~16 B/window-pixel * 4/3 pyramid overhead
+    # bound live pyramid memory: ~16 B/window-pixel * 4/3 pyramid overhead.
+    # The chunk budget shrinks as the band canvases themselves grow, so at
+    # boat-fisheye scale (canvas-sized tiles, ~5 GB of bands) the feed goes
+    # one tile at a time and the whole program stays inside HBM.
     per_tile = int(wh) * int(ww) * 16 * 4 // 3
-    chunk = max(1, int(2_000_000_000 // max(per_tile, 1)))
+    acc_bytes = int(ph) * int(pw) * 16 * 8 // 3
+    budget = max(500_000_000, 2_000_000_000 - acc_bytes // 2)
+    chunk = max(1, int(budget // max(per_tile, 1)))
 
     if mesh is None:
         if kind == "multiband":
@@ -710,6 +716,166 @@ def fetch_image(img):
     return flat.reshape(h, w, -1)
 
 
+def _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w):
+    """Host plan for X-strip blending: per-strip membership (bucketed to a
+    common count), local origins, and a common local width."""
+    S = gap + (1 << (nb + 1))
+    members = []
+    for cs in range(0, dw, strip_w):
+        ce = min(cs + strip_w, dw)
+        keep = [i for i in range(len(szs))
+                if offs[i, 0] + ww > cs - S and offs[i, 0] < ce + S]
+        if keep:
+            ls = min(min(offs[i, 0] for i in keep), cs)
+            le = max(max(offs[i, 0] + ww for i in keep), cs + strip_w)
+        else:
+            ls, le = cs, cs + strip_w
+        ls = max((ls // m) * m, 0)
+        members.append((cs, ce, ls, le, keep))
+    if not any(keep for *_, keep in members):
+        return None
+    max_k = max(max((len(k) for *_, k in members)), 1)
+    pw_local = _round_up(max(le - ls for _, _, ls, le, _ in members),
+                         max(512, m))
+    return members, max_k, pw_local
+
+
+def _blend_strips(stack, seam_masks, nb, m, gap, wh, ww, ph, pw, tl, dh, dw,
+                  offs, shifts, szs, strip_w, mesh=None):
+    """Multiband blend in X-strips with exact overlap margins.
+
+    For canvases whose band accumulators exceed the memory budget, the
+    canvas splits into column strips. Each strip's local program includes
+    every tile whose window could influence the strip's interior (support
+    S = gap + 2^(nb+1) border context for the feed plus the collapse
+    pyr_up chain), so per-strip interiors equal the monolithic blend
+    exactly; only accumulator memory shrinks (by pw / strip_w).
+
+    This is the canvas-parallel decomposition of SURVEY §2c: with a mesh,
+    the STRIP axis is sharded across the devices (each device owns a set
+    of canvas column ranges and blends them independently — border
+    context arrives by replicating the tile stack and overlapping the
+    strip membership, so no halo collectives are needed), and per-device
+    canvas memory is bounded by one strip regardless of panorama width.
+    """
+    plan = _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w)
+    C = stack.data.shape[-1]
+    pano = jnp.zeros((dh, dw, C), jnp.uint8)
+    wmask = jnp.zeros((dh, dw), jnp.uint8)
+    if plan is None:
+        return pano, wmask
+    members, max_k, pw_local = plan
+
+    if mesh is not None:
+        return _blend_strips_mesh(stack, seam_masks, nb, wh, ww, ph,
+                                  pw_local, dh, dw, offs, shifts, szs,
+                                  members, max_k, strip_w, mesh)
+
+    for cs, ce, ls, le, keep in members:
+        if not keep:
+            continue
+        idx = keep + [keep[-1]] * (max_k - len(keep))
+        sub_tiles = stack.data[jnp.asarray(idx)]
+        sub_seams = seam_masks[jnp.asarray(idx)]
+        sub_offs = offs[idx].copy()
+        sub_offs[:, 0] -= ls
+        sub_szs = szs[idx].copy()
+        sub_szs[len(keep):] = 1  # padded duplicates contribute ~nothing
+        sub_seams = jnp.where(
+            (jnp.arange(max_k) < len(keep))[:, None, None], sub_seams, 0.0)
+        prog = _blend_program("multiband", nb, wh, ww, ph, pw_local, None)
+        strip, w0 = prog(sub_tiles, sub_seams, jnp.asarray(sub_offs),
+                         jnp.asarray(shifts[idx]), jnp.asarray(sub_szs),
+                         jnp.float32(0.0))
+        x0 = cs - ls
+        seg = _to_u8(jax.lax.dynamic_slice(
+            strip, (0, x0, 0), (dh, ce - cs, strip.shape[2])))
+        pano = jax.lax.dynamic_update_slice(pano, seg, (0, cs, 0))
+        wseg = _wmap_to_u8(jax.lax.dynamic_slice(w0, (0, x0),
+                                                 (dh, ce - cs)))
+        wmask = jax.lax.dynamic_update_slice(wmask, wseg, (0, cs))
+    return pano, wmask
+
+
+def _blend_strips_mesh(stack, seam_masks, nb, wh, ww, ph, pw_local, dh, dw,
+                       offs, shifts, szs, members, max_k, strip_w, mesh):
+    """Strip-sharded SPMD blend: strips distributed over the mesh devices;
+    each device runs its local strips sequentially (lax.map) with bounded
+    band memory; the strip interiors come back sharded and assemble into
+    the panorama."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    D = int(mesh.devices.size)
+    n_s = len(members)
+    n_pad = -(-n_s // D) * D
+
+    # uniform per-strip tensors (host)
+    gat = np.zeros((n_pad, max_k), np.int32)
+    s_offs = np.zeros((n_pad, max_k, 2), np.int32)
+    s_shifts = np.zeros((n_pad, max_k, 2), np.int32)
+    s_szs = np.ones((n_pad, max_k, 2), np.int32)
+    s_live = np.zeros((n_pad, max_k), np.float32)
+    s_x0 = np.zeros((n_pad,), np.int32)
+    for s, (cs, ce, ls, le, keep) in enumerate(members):
+        idx = keep + [keep[-1]] * (max_k - len(keep))
+        gat[s] = idx
+        s_offs[s] = offs[idx]
+        s_offs[s, :, 0] -= ls
+        s_shifts[s] = shifts[idx]
+        s_szs[s, :len(keep)] = szs[keep]
+        s_live[s, :len(keep)] = 1.0
+        s_x0[s] = cs - ls
+
+    axis_name = mesh.axis_names[0]
+
+    def one_strip(args):
+        idx, so, ssh, ssz, live, x0 = args
+        tiles = stack_data[idx]
+        seams = seam_stack[idx] * live[:, None, None]
+        acc, wacc = _mb_feed_batched(tiles, seams, so, ssh, ssz, nb,
+                                     wh, ww, ph, pw_local,
+                                     vary_axis=axis_name)
+        laps = [acc[lv] / (wacc[lv] + 1e-5) for lv in range(nb + 1)]
+        from .ops.pyramid import collapse_laplacian
+
+        strip = collapse_laplacian(laps)
+        seg = _to_u8(jax.lax.dynamic_slice(
+            strip, (0, x0, 0), (dh, strip_w, strip.shape[2])))
+        wseg = _wmap_to_u8(jax.lax.dynamic_slice(
+            wacc[0][..., 0], (0, x0), (dh, strip_w)))
+        return seg, wseg
+
+    stack_data = stack.data
+    seam_stack = seam_masks
+
+    def local(idx, so, ssh, ssz, live, x0):
+        return jax.lax.map(one_strip, (idx, so, ssh, ssz, live, x0))
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)))
+
+    def put(a):
+        return jax.device_put(jnp.asarray(a), NamedSharding(
+            mesh, P(axis, *([None] * (np.asarray(a).ndim - 1)))))
+
+    segs, wsegs = jax.jit(sharded)(put(gat), put(s_offs), put(s_shifts),
+                                   put(s_szs), put(s_live), put(s_x0))
+    # assemble: strips are consecutive strip_w column spans
+    pano = jnp.swapaxes(segs[:n_s], 0, 1).reshape(dh, n_s * strip_w, -1)
+    wmask = jnp.swapaxes(wsegs[:n_s], 0, 1).reshape(dh, n_s * strip_w)
+    return pano[:, :dw], wmask[:, :dw]
+
+
+# accumulator budget for the monolithic multiband program; beyond it the
+# canvas splits into X-strips (override via env for tests)
+_BLEND_BUDGET_BYTES = int(float(os.environ.get(
+    "STITCHING_TPU_BLEND_BUDGET", 4e9)))
+
+
 def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
                 mesh=None):
     """Composite the stack into the final panorama: one jitted feed-scan +
@@ -772,6 +938,21 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
             aligned = min(aligned, tl[a] + pd - wd)
             offs[i, a] = aligned - tl[a]
             shifts[i, a] = corners[i, a] - aligned
+
+    if kind == "multiband" and ww <= pw // 3:
+        # strips only pay when windows are much narrower than the canvas
+        # (tall fisheye tiles spanning the canvas stay monolithic — their
+        # per-chunk pyramid memory is already bounded by `chunk`)
+        acc_bytes = ph * pw * (stack.data.shape[-1] + 1) * 4 * 8 // 3
+        if acc_bytes > _BLEND_BUDGET_BYTES:
+            # bound per-strip width so local accumulators fit the budget
+            per_col = ph * (stack.data.shape[-1] + 1) * 4 * 8 // 3
+            strip_w = max(int(_BLEND_BUDGET_BYTES // (2 * per_col))
+                          - 2 * ww, max(256, m))
+            strip_w = (strip_w // m) * m
+            return _blend_strips(stack, seam_masks, nb, m, gap, wh, ww,
+                                 ph, pw, tl, dh, dw, offs[:n], shifts[:n],
+                                 szs[:n], strip_w, mesh=mesh)
 
     prog = _blend_program(kind, nb, wh, ww, ph, pw, mesh)
     pano, wmap = prog(stack.data, seam_masks, jnp.asarray(offs),

@@ -16,10 +16,18 @@ constants — so the program compiles once per (edge-bucket, camera-count)
 shape and is reused across runs.
 
 Distribution: residuals are row-sharded by edge. When the problem tensors
-arrive sharded over a mesh axis (see `parallel/sharded.py`), `J^T J` /
-`J^T r` become psum-reduced matmuls XLA inserts automatically — the
-distributed-BA normal-equation assembly of SURVEY.md §2c with no separate
-code path.
+arrive sharded over a mesh axis, `J^T J` / `J^T r` become psum-reduced
+matmuls XLA inserts automatically — the distributed-BA normal-equation
+assembly of SURVEY.md §2c with no separate code path.
+
+On Schur complements (SURVEY §2c mentions a "Schur-complement reduce for
+the camera block"): classic SfM BA eliminates the LANDMARK block via Schur
+to leave a small camera system. Panorama bundle adjustment has NO landmark
+parameters — the reference's adjusters (and ours) optimize camera
+intrinsics+rotations only, so the normal system IS the reduced camera
+system already (n_cam * <=7 unknowns); there is nothing to eliminate. The
+distributed story is therefore exactly the psum-reduced JtJ assembly
+above, which scales with the edge count.
 
 Residual models (SURVEY.md §2b):
 - ray: residual = sqrt(f_i f_j) * (unit(R_i K_i^-1 p) - unit(R_j K_j^-1 q)),

@@ -23,10 +23,17 @@ def wave_correct(rmats: jax.Array, kind: str = "horiz") -> jax.Array:
     evals, evecs = jnp.linalg.eigh(moment)      # ascending
 
     if kind == "auto":
-        # Spread of camera x-axes along the dominant vs weakest direction:
-        # a horizontal sweep leaves x-axes spread in the horizontal plane
-        # (small component along the vertical / smallest eigenvector).
-        horiz_like = evals[0] < 0.1 * evals[2]
+        # cv.detail.autoDetectWaveCorrectKind semantics: compare the spread
+        # of the cameras' viewing directions (projected optical axes) along
+        # x vs y — a horizontal panorama spreads them in x, a vertical one
+        # in y (oracle-tested against WAVE_CORRECT_AUTO in
+        # tests/test_cameras.py).
+        z = rmats[:, :, 2]
+        zz = jnp.where(jnp.abs(z[:, 2:3]) < 1e-6, 1e-6, z[:, 2:3])
+        px = z[:, 0] / zz[:, 0]
+        py = z[:, 1] / zz[:, 0]
+        horiz_like = ((jnp.max(px) - jnp.min(px))
+                      >= (jnp.max(py) - jnp.min(py)))
         rg1 = jnp.where(horiz_like, evecs[:, 0], evecs[:, 2])
     elif kind == "horiz":
         rg1 = evecs[:, 0]                       # smallest eigenvalue
@@ -42,6 +49,9 @@ def wave_correct(rmats: jax.Array, kind: str = "horiz") -> jax.Array:
 
     if kind == "vert":
         conf = -jnp.sum(x_axes @ rg1)
+    elif kind == "auto":
+        conf = jnp.where(horiz_like, jnp.sum(x_axes @ rg0),
+                         -jnp.sum(x_axes @ rg1))
     else:
         conf = jnp.sum(x_axes @ rg0)
     sign = jnp.where(conf < 0, -1.0, 1.0)

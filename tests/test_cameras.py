@@ -23,6 +23,11 @@ def _rot_z(a):
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
 
 
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
 def test_focals_from_synthetic_homography():
     f = 720.0
     K = np.diag([f, f, 1.0])
@@ -72,3 +77,44 @@ def test_wave_correct_oracle():
         ref = cv2.detail.waveCorrect([np.copy(r) for r in rmats], cv_kind)
         diff = np.abs(ours - np.stack([np.asarray(r) for r in ref])).max()
         assert diff < 5e-3, (kind, diff)
+
+
+@pytest.mark.skipif(
+    pytest.importorskip("cv2") is None, reason="needs cv2 oracle")
+def test_wave_correct_auto_oracle():
+    """AUTO kind selection matches cv.detail.waveCorrect(WAVE_CORRECT_AUTO)
+    on both a horizontal and a vertical sweep."""
+    import cv2
+
+    rng = np.random.RandomState(7)
+
+    def sweep(vertical):
+        rmats = []
+        for a in np.linspace(-0.5, 0.5, 5):
+            noise = rng.randn(3) * 0.04
+            base = _rot_x(a + noise[0]) if vertical else _rot_y(a + noise[1])
+            rmats.append((_rot_z(noise[2]) @ base).astype(np.float32))
+        return np.stack(rmats)
+
+    for vertical in (False, True):
+        rmats = sweep(vertical)
+        ours = np.asarray(wave_correct(jnp.asarray(rmats), "auto"))
+        ref = cv2.detail.waveCorrect([np.copy(r) for r in rmats],
+                                     cv2.detail.WAVE_CORRECT_AUTO)
+        diff = np.abs(ours - np.stack([np.asarray(r) for r in ref])).max()
+        assert diff < 5e-3, ("vertical" if vertical else "horizontal", diff)
+
+    # randomized battery: mixed-axis sweeps with varying dominance
+    for trial in range(10):
+        n = rng.randint(3, 7)
+        ax = rng.uniform(0.05, 0.5)
+        ay = rng.uniform(0.05, 0.5)
+        rmats = np.stack([
+            (_rot_z(rng.randn() * 0.03) @ _rot_x(a * ay) @ _rot_y(a * ax)
+             ).astype(np.float32)
+            for a in np.linspace(-1, 1, n)])
+        ours = np.asarray(wave_correct(jnp.asarray(rmats), "auto"))
+        ref = cv2.detail.waveCorrect([np.copy(r) for r in rmats],
+                                     cv2.detail.WAVE_CORRECT_AUTO)
+        diff = np.abs(ours - np.stack([np.asarray(r) for r in ref])).max()
+        assert diff < 5e-3, (trial, ax, ay, diff)

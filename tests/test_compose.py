@@ -48,3 +48,43 @@ def test_slice_stack_bottom_right_rect():
     out = slice_stack(stack, [(250, 150, 50, 50)])
     got = np.asarray(out.data[0, :50, :50, 1])
     np.testing.assert_allclose(got, base[150:200, 250:300, 1])
+
+
+def test_strip_blend_matches_monolithic():
+    """X-strip multiband tiling (memory-bounded canvases) must reproduce
+    the monolithic blend exactly: strips include every window within the
+    feed+collapse support margin of their interior."""
+    import stitching_tpu.compose as compose
+    from stitching_tpu.compose import blend_stack
+
+    rng = np.random.RandomState(5)
+    n = 8
+    th, tw = 192, 256
+    tiles, masks, corners, sizes = [], [], [], []
+    arrs = []
+    for i in range(n):
+        a = rng.randint(0, 255, (th, tw, 3)).astype(np.float32)
+        arrs.append(a)
+        corners.append((i * 180, (i % 2) * 16))
+        sizes.append((tw, th))
+    b = len(arrs)
+    data = np.zeros((b, th, tw, 3), np.float32)
+    mk = np.full((b, th, tw), 255.0, np.float32)
+    for i, a in enumerate(arrs):
+        data[i] = a
+    stack = TileStack(jnp.asarray(data), jnp.asarray(mk),
+                      np.asarray(corners, np.int64),
+                      np.asarray(sizes, np.int64))
+    seams = stack.masks
+
+    mono = np.asarray(blend_stack(stack, seams, "multiband", 5)[0])
+    old = compose._BLEND_BUDGET_BYTES
+    compose._BLEND_BUDGET_BYTES = 1  # force strips
+    try:
+        striped = np.asarray(blend_stack(stack, seams, "multiband", 5)[0])
+    finally:
+        compose._BLEND_BUDGET_BYTES = old
+    assert striped.shape == mono.shape
+    diff = np.abs(striped.astype(int) - mono.astype(int))
+    # identical up to uint8 rounding of float accumulation order
+    assert diff.max() <= 1, (diff.max(), (diff > 1).mean())

@@ -88,3 +88,49 @@ def test_block_gain_compensation_runs():
     comp2.feed(corners, imgs, masks)
     out2 = comp2.apply(1, corners[1], imgs[1])
     assert out2.shape == imgs[1].shape
+
+
+def test_blocks_compensator_vs_cv2_oracle():
+    """A/B the blocks compensator against cv.detail.BlocksGainCompensator
+    on a shared synthetic scene: after compensation, the overlap mismatch
+    must shrink to the same level the OpenCV implementation achieves (the
+    cell discretizations differ — canvas-aligned cells vs per-image blocks
+    — so we compare compensation QUALITY, not raw gain maps)."""
+    import cv2
+
+    from stitching_tpu.exposure_error_compensator import (
+        ExposureErrorCompensator)
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(40, 200, (160, 320, 3)).astype(np.float32)
+    # image 1 sees columns [0:200), image 2 sees [120:320) 1.35x brighter
+    img1 = np.clip(base[:, :200], 0, 255).astype(np.uint8)
+    img2 = np.clip(base[:, 120:] * 1.35, 0, 255).astype(np.uint8)
+    corners = [(0, 0), (120, 0)]
+    masks = [np.full((160, 200), 255, np.uint8)] * 2
+
+    def overlap_err(a1, a2):
+        o1 = a1[:, 120:200].astype(np.float32)
+        o2 = a2[:, 0:80].astype(np.float32)
+        return float(np.abs(o1 - o2).mean())
+
+    raw_err = overlap_err(img1, img2)
+
+    comp = ExposureErrorCompensator("gain_blocks", block_size=32)
+    comp.feed(corners, [img1, img2], masks)
+    ours = [comp.apply(i, corners[i], img)
+            for i, img in enumerate([img1, img2])]
+    ours_err = overlap_err(*ours)
+
+    ref = cv2.detail.BlocksGainCompensator()
+    ref.feed(corners, [img1, img2], list(masks))
+    refs = []
+    for i, img in enumerate([img1, img2]):
+        im = img.copy()
+        ref.apply(i, corners[i], im, masks[i])
+        refs.append(im)
+    ref_err = overlap_err(*refs)
+
+    # both must fix most of the mismatch; ours must be in cv2's league
+    assert ours_err < 0.5 * raw_err, (ours_err, raw_err)
+    assert ours_err <= 1.5 * ref_err + 2.0, (ours_err, ref_err, raw_err)
