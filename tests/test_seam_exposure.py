@@ -134,3 +134,55 @@ def test_blocks_compensator_vs_cv2_oracle():
     # both must fix most of the mismatch; ours must be in cv2's league
     assert ours_err < 0.5 * raw_err, (ours_err, raw_err)
     assert ours_err <= 1.5 * ref_err + 2.0, (ours_err, ref_err, raw_err)
+
+
+def test_dp_seam_ownership_vs_cv2_oracle():
+    """DP seam A/B vs cv.detail_DpSeamFinder on a scene with a unique
+    zero-mismatch corridor. Exact route parity is not the contract (OpenCV
+    DpSeamFinder is a contour/region algorithm, not pure seam-carving);
+    the contract validated here is (a) the partition is exact — kept
+    regions tile the overlap with no gap and no two-owner pixels off the
+    seam line, (b) our seam routes through the corridor, and (c) our
+    seam's color-mismatch energy is no worse than the oracle's."""
+    import cv2
+
+    from stitching_tpu.ops.seam import dp_pairwise_seams
+
+    rng = np.random.RandomState(11)
+    scene = rng.randint(0, 255, (200, 460, 3)).astype(np.float32)
+    img1 = scene[:, :300].copy()
+    img2 = scene[:, 160:].copy()
+    noise = rng.randint(20, 45, (200, 140, 3)).astype(np.float32)
+    noise[:, 90:101] = 0  # the corridor: identical content
+    img2[:, :140] = np.clip(img2[:, :140] + noise, 0, 255)
+    corners = [(0, 0), (160, 0)]
+    masks = [np.full((200, 300), 255, np.uint8) for _ in range(2)]
+
+    ours = dp_pairwise_seams([img1, img2], corners, masks, use_grad=False)
+
+    finder = cv2.detail_DpSeamFinder("COLOR")
+    cv_out = [m.get() for m in finder.find(
+        [cv2.UMat(im.astype(np.float32)) for im in (img1, img2)],
+        corners, [cv2.UMat(m) for m in masks])]
+
+    def seam_energy(kept):
+        """Sum of |img1-img2| along the ownership boundary in the overlap."""
+        o1 = kept[0][:, 160:300] > 0
+        diff = np.abs(img1[:, 160:300] - img2[:, :140]).sum(-1)
+        edge = o1[:, :-1] != o1[:, 1:]
+        return float((diff[:, :-1] * edge).sum())
+
+    # (a) exact partition: overlap fully covered, near-disjoint
+    ov_union = (ours[0][:, 160:300] > 0) | (ours[1][:, :140] > 0)
+    ov_both = (ours[0][:, 160:300] > 0) & (ours[1][:, :140] > 0)
+    assert ov_union.all()
+    assert ov_both.mean() < 0.02  # only the seam line itself
+
+    # (b) our seam lives in the corridor: left image keeps the left side
+    ov1 = ours[0][:, 160:300]
+    ov2 = ours[1][:, 0:140]
+    assert ov1[:, :85].mean() > 200
+    assert ov2[:, 105:].mean() > 200
+
+    # (c) our seam mismatch energy <= the oracle's
+    assert seam_energy(ours) <= seam_energy(cv_out) + 1e-6
