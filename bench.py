@@ -40,7 +40,6 @@ def kernel_microbench(imgs):
     import time
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from stitching_tpu.compose import blend_stack, warp_stack

@@ -15,9 +15,10 @@ stacked tile batch that never leaves device memory:
   per-channel gains) or a batched bilinear gain-map upsample (blocks);
 - `resize_seam_masks_stack`: dilate + resize + mask-AND for all seam masks
   in one kernel (`SeamFinder.resize` analog, reference seam_finder.py:37-43);
-- `blend_stack`: one jitted scan over the tile batch feeding the multiband /
-  feather / paste accumulators, then one collapse. The panorama leaves the
-  device exactly once, as uint8.
+- `blend_stack`: one vmapped dispatch builds every window's pyramids, a
+  scan of dynamic-slice adds accumulates them, one collapse; wide canvases
+  split into X-strips (optionally sharded over a mesh). The panorama
+  leaves the device exactly once, as uint8.
 
 Static-shape discipline: tiles share one bucketed (B, TH, TW, C) shape; true
 per-image corners/sizes ride along as host metadata and traced scalars.
@@ -128,13 +129,16 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
     H, W = data.shape[1], data.shape[2]
     C = data.shape[-1]
 
-    # quad image: (B, H, W, 4C); rows/cols shift by one with edge clamp
-    right = jnp.concatenate([data[:, :, 1:], data[:, :, -1:]], axis=2)
-    down = jnp.concatenate([data[:, 1:], data[:, -1:]], axis=1)
-    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
-    quad = jnp.concatenate([data, right, down, downright], axis=-1)
+    def make_quad(img):
+        # quad image (H, W, 4C): each pixel's 2x2 neighborhood packed on
+        # the channel axis (rows/cols shift by one with edge clamp)
+        right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+        return jnp.concatenate([img, right, down, downright], axis=-1)
 
-    def one(q, ssz, kri, tl, dsz):
+    def one(img, ssz, kri, tl, dsz):
+        q = make_quad(img)
         w = ssz[0].astype(jnp.float32)
         h = ssz[1].astype(jnp.float32)
         cols = jnp.arange(tw, dtype=jnp.float32)[None, :]
@@ -177,8 +181,13 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
         out = jnp.where(inroi[..., None], out, 0.0)
         return out, mask
 
-    return jax.vmap(one)(quad, src_sizes, k_rinv,
-                         tls.astype(jnp.float32), dst_sizes)
+    args = (data, src_sizes, k_rinv, tls.astype(jnp.float32), dst_sizes)
+    # vmap builds every per-image quad at once (4x the stack in HBM);
+    # beyond ~2 GB of quads, stream images through lax.map instead
+    quad_bytes = data.shape[0] * H * W * 4 * C * 4
+    if quad_bytes > 2_000_000_000:
+        return jax.lax.map(lambda a: one(*a), args)
+    return jax.vmap(one)(*args)
 
 
 def warp_stack(data, src_sizes, Ks, Rs, scale, warper_type) -> TileStack:
