@@ -222,6 +222,92 @@ def warp_stack(data, src_sizes, Ks, Rs, scale, warper_type) -> TileStack:
                      np.asarray(dsizes[:n]))
 
 
+@partial(jax.jit, static_argnames=("oh", "ow", "need_resize"))
+def _prep_one_kernel(img, in_wh, out_wh, *, oh, ow, need_resize):
+    """uint8/float (h, w, C) -> f32 (oh, ow, C) resized to out_wh with
+    clamp-replicated padding beyond (single-image analog of
+    `pipeline._resize_kernel`; the warp kernel clamps its own sampling, so
+    padding content is never read)."""
+    img = img.astype(jnp.float32)
+    if not need_resize:
+        return jnp.pad(img, ((0, oh - img.shape[0]), (0, ow - img.shape[1]),
+                             (0, 0)), mode="edge")
+    h, w = img.shape[0], img.shape[1]
+    sx = in_wh[0] / out_wh[0]
+    sy = in_wh[1] / out_wh[1]
+    xs = jnp.clip((jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5,
+                  0.0, in_wh[0] - 1.0)
+    ys = jnp.clip((jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5,
+                  0.0, in_wh[1] - 1.0)
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[None, :, None]
+    fy = (ys - y0)[:, None, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    r0 = img[y0i][:, x0i] * (1 - fx) + img[y0i][:, x1i] * fx
+    r1 = img[y1i][:, x0i] * (1 - fx) + img[y1i][:, x1i] * fx
+    return r0 * (1 - fy) + r1 * fy
+
+
+def warp_stack_streamed(source, sizes, Ks, Rs, scale,
+                        warper_type) -> TileStack:
+    """Per-image warp paced by an async upload stream.
+
+    source: `transfer.Uploader`-like (image(i) -> device (h, w, C) array,
+    blocking until image i has landed). Each image's resize+warp dispatches
+    the moment its upload completes, so by the time the LAST image lands
+    only ONE image's warp remains — the bulk upload and the FINAL-pass warp
+    fully overlap. sizes: per-image (w, h) at the target resolution.
+
+    Exactness: identical kernels and shapes as `warp_stack` (the per-image
+    dispatch is the B=1 instance of the same jitted program family), so
+    results match the batched path bit-for-bit.
+    """
+    n = len(Ks)
+    sizes = [tuple(map(int, s)) for s in sizes]
+    corners, dsizes = plan_warp_rois(sizes, Ks, Rs, scale, warper_type)
+    th = _round_up(int(dsizes[:, 1].max()))
+    tw = _round_up(int(dsizes[:, 0].max()))
+    tiles = []
+    masks = []
+    for i in range(n):
+        raw = source.image(i)    # blocks until image i's upload lands
+        tile, mask = warp_single(raw, sizes[i], Ks[i], Rs[i], corners[i],
+                                 dsizes[i], scale, warper_type, th, tw)
+        tiles.append(tile)
+        masks.append(mask)
+    return TileStack(jnp.concatenate(tiles), jnp.concatenate(masks),
+                     np.asarray(corners[:n]), np.asarray(dsizes[:n]))
+
+
+def warp_single(raw, size_wh, K, R, corner, dsize, scale, warper_type,
+                th, tw):
+    """Resize+warp ONE image: (1, th, tw, C) tile + (1, th, tw) mask.
+
+    The B=1 instance of the `_warp_stack_kernel` program family — identical
+    numerics to the batched path."""
+    K64 = np.asarray(K, np.float64)
+    R64 = np.asarray(R, np.float64)
+    k_rinv = (K64 @ R64 if warper_type == "affine"
+              else K64 @ np.linalg.inv(R64))
+    w, h = int(size_wh[0]), int(size_wh[1])
+    need_resize = (raw.shape[1], raw.shape[0]) != (w, h)
+    oh, ow = _round_up(h, 64), _round_up(w, 64)
+    prep = _prep_one_kernel(
+        raw, jnp.asarray([raw.shape[1], raw.shape[0]], jnp.float32),
+        jnp.asarray([w, h], jnp.float32),
+        oh=oh, ow=ow, need_resize=need_resize)
+    return _warp_stack_kernel(
+        prep[None], jnp.asarray([[w, h]], jnp.int32),
+        jnp.asarray(k_rinv, np.float32)[None],
+        jnp.asarray(np.asarray(corner), np.float32)[None],
+        jnp.asarray(np.asarray(dsize), np.int32)[None],
+        jnp.float32(1.0 / scale), th=th, tw=tw, warper_type=warper_type)
+
+
 # ---------------------------------------------------------------------------
 # Batched crop
 # ---------------------------------------------------------------------------
@@ -315,20 +401,23 @@ def _gain_map_kernel(tiles, gmaps, cell0, inv_bs):
     return jax.vmap(one)(tiles, gmaps, cell0, inv_bs)
 
 
-def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
-    """Apply the fed compensator to the whole tile stack on device."""
+def plan_gain_arrays(compensator, sizes, b, C):
+    """Host arrays for device gain application over `b` batch slots whose
+    first len(sizes) are real images at the given APPLY-resolution sizes.
+
+    Returns (mode, arrays): ("no", None); ("scalar", g (b, C));
+    ("map", (gstack, cell0, inv_bs)) for the blocks variants.
+    """
     mode = compensator.compensator
     if mode == "no":
-        return stack
-    n = len(stack.sizes)
-    b = stack.data.shape[0]
+        return "no", None
+    n = len(sizes)
     if mode in ("gain", "channel"):
-        g = np.ones((b, stack.data.shape[-1]), np.float32)
+        g = np.ones((b, C), np.float32)
         for i in range(n):
             gi = compensator._gains[i]
-            g[i] = gi if len(gi) == stack.data.shape[-1] else gi[0]
-        tiles = _gain_mul_kernel(stack.data, jnp.asarray(g))
-        return TileStack(tiles, stack.masks, stack.corners, stack.sizes)
+            g[i] = gi if len(gi) == C else gi[0]
+        return "scalar", g
 
     # blocks variants
     origin, bs, smoothed = compensator._block_state
@@ -347,7 +436,7 @@ def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
         # sub-block offset of the image's (0,0) pixel inside cell (cy0, cx0)
         cell0[i] = ((gx0 % bs) / bs, (gy0 % bs) / bs)
         # cells per APPLY pixel, per image and axis (feed px / apply px / bs)
-        aw, ah = stack.sizes[i]
+        aw, ah = sizes[i]
         inv_bs[i] = (fw / max(int(aw), 1) / bs, fh / max(int(ah), 1) / bs)
     gy = max(s.shape[0] for s in subs)
     gx = max(s.shape[1] for s in subs)
@@ -358,6 +447,20 @@ def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
         # edge-replicate so the bilinear taps at image edges stay sane
         gstack[i, s.shape[0]:, :s.shape[1]] = s[-1:, :]
         gstack[i, :, s.shape[1]:] = gstack[i, :, s.shape[1] - 1:s.shape[1]]
+    return "map", (gstack, cell0, inv_bs)
+
+
+def apply_gains_stack(stack: TileStack, compensator) -> TileStack:
+    """Apply the fed compensator to the whole tile stack on device."""
+    mode, arrs = plan_gain_arrays(compensator, stack.sizes,
+                                  stack.data.shape[0],
+                                  stack.data.shape[-1])
+    if mode == "no":
+        return stack
+    if mode == "scalar":
+        tiles = _gain_mul_kernel(stack.data, jnp.asarray(arrs))
+        return TileStack(tiles, stack.masks, stack.corners, stack.sizes)
+    gstack, cell0, inv_bs = arrs
     tiles = _gain_map_kernel(stack.data, jnp.asarray(gstack),
                              jnp.asarray(cell0), jnp.asarray(inv_bs))
     return TileStack(tiles, stack.masks, stack.corners, stack.sizes)
@@ -885,32 +988,20 @@ _BLEND_BUDGET_BYTES = int(float(os.environ.get(
     "STITCHING_TPU_BLEND_BUDGET", 4e9)))
 
 
-def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
-                mesh=None):
-    """Composite the stack into the final panorama: one jitted feed-scan +
-    collapse, one uint8 device->host transfer.
-
-    seam_masks: (B, TH, TW) device array (from `resize_seam_masks_stack`)
-    or None (use the stack's warp masks). With a mesh, the tile batch is
-    sharded and per-device accumulators merge with one collective.
-    Returns (pano_u8, mask_u8) as DEVICE arrays — callers fetch on demand
-    (`fetch_image` for the panorama), so an unused coverage mask costs no
-    transfer.
-    """
-    corners = np.asarray(stack.corners)
-    sizes = np.asarray(stack.sizes)
+def _plan_blend(corners, sizes, b, blender_type, blend_strength, th, twd):
+    """Host geometry plan shared by the batched blend and the streaming
+    compositor: blender-kind resolution (blend_width < 1 -> NO, the
+    reference rule), band count, window/canvas shapes, and per-image
+    pyramid-aligned window offsets + in-window tile shifts."""
+    corners = np.asarray(corners)
+    sizes = np.asarray(sizes)
     tl, (dw, dh) = _canvas_roi(corners, sizes)
-    if seam_masks is None:
-        seam_masks = stack.masks
-    b = stack.data.shape[0]
     n = len(sizes)
     szs = np.ones((b, 2), np.int32)
     szs[:n] = sizes
 
-    # resolve blender kind like the reference (blend_width < 1 -> NO)
     blend_width = np.sqrt(dh * dw) * blend_strength / 100.0
     kind = blender_type if blend_width >= 1 else "no"
-    th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
 
     nb = 1
     sharpness = 0.0
@@ -947,6 +1038,36 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
             aligned = min(aligned, tl[a] + pd - wd)
             offs[i, a] = aligned - tl[a]
             shifts[i, a] = corners[i, a] - aligned
+    return dict(kind=kind, nb=nb, m=m, gap=gap, sharpness=sharpness,
+                wh=wh, ww=ww, ph=ph, pw=pw, tl=tl, dh=dh, dw=dw,
+                offs=offs, shifts=shifts, szs=szs, n=n)
+
+
+def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
+                mesh=None):
+    """Composite the stack into the final panorama: one jitted feed-scan +
+    collapse, one uint8 device->host transfer.
+
+    seam_masks: (B, TH, TW) device array (from `resize_seam_masks_stack`)
+    or None (use the stack's warp masks). With a mesh, the tile batch is
+    sharded and per-device accumulators merge with one collective.
+    Returns (pano_u8, mask_u8) as DEVICE arrays — callers fetch on demand
+    (`fetch_image` for the panorama), so an unused coverage mask costs no
+    transfer.
+    """
+    corners = np.asarray(stack.corners)
+    sizes = np.asarray(stack.sizes)
+    if seam_masks is None:
+        seam_masks = stack.masks
+    b = stack.data.shape[0]
+    th, twd = int(stack.data.shape[1]), int(stack.data.shape[2])
+    p = _plan_blend(corners, sizes, b, blender_type, blend_strength,
+                    th, twd)
+    kind, nb, m, gap, sharpness = (p["kind"], p["nb"], p["m"], p["gap"],
+                                   p["sharpness"])
+    wh, ww, ph, pw, tl, dh, dw = (p["wh"], p["ww"], p["ph"], p["pw"],
+                                  p["tl"], p["dh"], p["dw"])
+    offs, shifts, szs, n = p["offs"], p["shifts"], p["szs"], p["n"]
 
     if kind == "multiband" and ww <= pw // 3:
         # strips only pay when windows are much narrower than the canvas
@@ -971,3 +1092,155 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
     pano8 = _to_u8(pano[:dh, :dw])
     mask8 = _wmap_to_u8(wmap[:dh, :dw])
     return pano8, mask8
+
+
+# ---------------------------------------------------------------------------
+# Streaming composition: feed each image as its upload lands
+# ---------------------------------------------------------------------------
+#
+# The batched blend above needs the whole tile stack before its feed scan
+# starts; on a tunneled link where the FINAL-resolution upload is the
+# longest-running resource, that serializes upload -> warp -> blend. The
+# streaming compositor runs the SAME per-image feed math (identical window
+# construction and accumulator updates — the batched scan body at B=1) as
+# individually dispatched programs with donated accumulators, so image i
+# warps, compensates and feeds while image i+1 is still uploading. After the
+# last image lands only one feed + collapse + fetch remain.
+
+
+@partial(jax.jit, static_argnames=("nb", "wh", "ww"), donate_argnums=(0, 1))
+def _mb_feed_one(acc, wacc, tile, seam, off, shift, size, *, nb, wh, ww):
+    """One image into the multiband accumulators (donated in-place).
+
+    Identical math to one step of `_mb_feed_batched` (window construction
+    + weighted Laplacian pyramid + per-level dynamic-slice add)."""
+    from .ops.pyramid import build_gaussian, build_laplacian
+
+    win, sm = _mb_windows(tile[None], seam[None], shift[None], size[None],
+                          wh, ww)
+    win, sm = win[0], sm[0]
+    wmask = (sm > 0).astype(jnp.float32)[..., None]
+    laps = build_laplacian(win, nb)
+    wpyr = build_gaussian(wmask, nb)
+    C = tile.shape[-1]
+    new_acc, new_w = [], []
+    for lvl in range(nb + 1):
+        yy = off[1] >> lvl
+        xx = off[0] >> lvl
+        contrib = laps[lvl] * wpyr[lvl]
+        bh, bw = contrib.shape[0], contrib.shape[1]
+        a = jax.lax.dynamic_slice(acc[lvl], (yy, xx, 0), (bh, bw, C)) \
+            + contrib
+        new_acc.append(jax.lax.dynamic_update_slice(acc[lvl], a,
+                                                    (yy, xx, 0)))
+        wv = jax.lax.dynamic_slice(wacc[lvl], (yy, xx, 0), (bh, bw, 1)) \
+            + wpyr[lvl]
+        new_w.append(jax.lax.dynamic_update_slice(wacc[lvl], wv,
+                                                  (yy, xx, 0)))
+    return tuple(new_acc), tuple(new_w)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _feather_feed_one(acc, wsum, tile, seam, off, shift, size, sharpness):
+    """One image into the feather accumulators (donated in-place)."""
+    from .ops.blend import distance_transform_l1
+
+    TH, TW, C = tile.shape
+    win, sm = _shifted_tile_window(tile, seam, shift, size)
+    m = (sm > 0).astype(jnp.float32)
+    wgt = jnp.minimum(distance_transform_l1(m) * sharpness, 1.0)
+    wgt = jnp.where(m > 0, wgt, 0.0)
+    a = jax.lax.dynamic_slice(acc, (off[1], off[0], 0), (TH, TW, C)) \
+        + win * wgt[..., None]
+    acc = jax.lax.dynamic_update_slice(acc, a, (off[1], off[0], 0))
+    wv = jax.lax.dynamic_slice(wsum, (off[1], off[0]), (TH, TW)) + wgt
+    wsum = jax.lax.dynamic_update_slice(wsum, wv, (off[1], off[0]))
+    return acc, wsum
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _paste_feed_one(canvas, cmask, tile, seam, off, shift, size):
+    """One image pasted by seam ownership (donated in-place)."""
+    TH, TW, C = tile.shape
+    win, sm = _shifted_tile_window(tile, seam, shift, size)
+    inside = sm > 0
+    region = jax.lax.dynamic_slice(canvas, (off[1], off[0], 0), (TH, TW, C))
+    region = jnp.where(inside[..., None], win, region)
+    canvas = jax.lax.dynamic_update_slice(canvas, region,
+                                          (off[1], off[0], 0))
+    mreg = jax.lax.dynamic_slice(cmask, (off[1], off[0]), (TH, TW))
+    mreg = jnp.where(inside, jnp.float32(255), mreg)
+    cmask = jax.lax.dynamic_update_slice(cmask, mreg, (off[1], off[0]))
+    return canvas, cmask
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _mb_collapse_kernel(acc, wacc, *, nb):
+    from .ops.pyramid import collapse_laplacian
+
+    laps = [acc[lv] / (wacc[lv] + 1e-5) for lv in range(nb + 1)]
+    return collapse_laplacian(laps), wacc[0][..., 0]
+
+
+@jax.jit
+def _feather_norm_kernel(acc, wsum):
+    return acc / jnp.maximum(wsum[..., None], 1e-5), wsum
+
+
+class StreamComposite:
+    """Feed-as-it-lands composition over a known canvas geometry.
+
+    Built from the same host plan as `blend_stack` (`_plan_blend`), fed one
+    (tile, seam) pair at a time, finished with one collapse. Accumulator
+    updates donate their buffers, so canvas memory stays constant across
+    feeds. The feed order is the image index order, matching the batched
+    scan's accumulation order (bitwise-identical sums).
+    """
+
+    def __init__(self, corners, sizes, blender_type, blend_strength,
+                 th, tw, C=3):
+        p = _plan_blend(np.asarray(corners), np.asarray(sizes), len(sizes),
+                        blender_type, blend_strength, th, tw)
+        self.p = p
+        self.C = C
+        kind, nb, ph, pw = p["kind"], p["nb"], p["ph"], p["pw"]
+        if kind == "multiband":
+            self.state = (
+                tuple(jnp.zeros((ph >> l, pw >> l, C), jnp.float32)
+                      for l in range(nb + 1)),
+                tuple(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32)
+                      for l in range(nb + 1)))
+        else:
+            self.state = (jnp.zeros((ph, pw, C), jnp.float32),
+                          jnp.zeros((ph, pw), jnp.float32))
+
+    def feed(self, i, tile, seam):
+        """tile: (TH, TW, C) f32 device; seam: (TH, TW) f32 device."""
+        p = self.p
+        off = jnp.asarray(p["offs"][i], jnp.int32)
+        shift = jnp.asarray(p["shifts"][i], jnp.int32)
+        size = jnp.asarray(p["szs"][i], jnp.int32)
+        a, b = self.state
+        if p["kind"] == "multiband":
+            self.state = _mb_feed_one(a, b, tile, seam, off, shift, size,
+                                      nb=p["nb"], wh=p["wh"], ww=p["ww"])
+        elif p["kind"] == "feather":
+            self.state = _feather_feed_one(
+                a, b, tile, seam, off, shift, size,
+                jnp.float32(p["sharpness"]))
+        else:
+            self.state = _paste_feed_one(a, b, tile, seam, off, shift, size)
+
+    def finish(self):
+        """Collapse and crop: (pano_u8, mask_u8) device arrays."""
+        p = self.p
+        a, b = self.state
+        if p["kind"] == "multiband":
+            pano, wmap = _mb_collapse_kernel(a, b, nb=p["nb"])
+        elif p["kind"] == "feather":
+            pano, wmap = _feather_norm_kernel(a, b)
+        else:
+            pano, wmap = a, b
+        pano8 = _to_u8(pano[:p["dh"], :p["dw"]])
+        mask8 = _wmap_to_u8(wmap[:p["dh"], :p["dw"]])
+        return pano8, mask8

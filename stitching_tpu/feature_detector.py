@@ -71,20 +71,17 @@ class FeatureDetector:
     def _detect_batched(self, imgs, masks):
         return self.detect_on_stack(stack_images(imgs), masks)
 
-    def detect_on_stack(self, stack, masks=None):
-        """Detect on an already-device-resident DeviceStack (the batched
-        engine path — avoids re-uploading images).
-
-        Descriptors stay ON DEVICE (each Features.desc is a lazy device
-        slice): the matcher re-stacks them with a device op, so the bulky
-        descriptor tensor never crosses the host boundary."""
-        out = detect_stack(
+    def detect_on_stack_dispatch(self, stack, masks=None):
+        """Dispatch batched detection without fetching: returns the stacked
+        device dict (the engine's async path — the small per-keypoint
+        fields device_get fuses with the match-results fetch)."""
+        return detect_stack(
             stack, nfeatures=self.nfeatures, variant=self.detector_name,
             feature_masks=masks)
-        small = jax.device_get(
-            {k: out[k] for k in
-             ("xy", "response", "size", "angle_deg", "valid")})
-        desc = out["desc"]
+
+    def features_from_host(self, desc, small, sizes):
+        """Build the per-image Features list from host copies of the small
+        detection fields; descriptors stay on device."""
         return [
             Features(
                 xy=np.asarray(small["xy"][i]),
@@ -96,8 +93,21 @@ class FeatureDetector:
                 img_size=(int(w), int(h)),
                 is_binary=self.is_binary,
             )
-            for i, (w, h) in enumerate(stack.sizes)
+            for i, (w, h) in enumerate(sizes)
         ]
+
+    def detect_on_stack(self, stack, masks=None):
+        """Detect on an already-device-resident DeviceStack (the batched
+        engine path — avoids re-uploading images).
+
+        Descriptors stay ON DEVICE (each Features.desc is a lazy device
+        slice): the matcher re-stacks them with a device op, so the bulky
+        descriptor tensor never crosses the host boundary."""
+        out = self.detect_on_stack_dispatch(stack, masks)
+        small = jax.device_get(
+            {k: out[k] for k in
+             ("xy", "response", "size", "angle_deg", "valid")})
+        return self.features_from_host(out["desc"], small, stack.sizes)
 
     @staticmethod
     def draw_keypoints(img, features, color=(0, 255, 0), radius=3):

@@ -69,8 +69,6 @@ class FeatureMatcher:
         With a mesh, the pair axis is sharded across its devices
         (pair-parallel matching, SURVEY.md §2c)."""
         n = len(features)
-        result = [MatchesInfo() for _ in range(n * n)]
-
         # device-resident descriptors re-stack on device (no host transfer)
         desc = (jnp.stack([f.desc for f in features])
                 if isinstance(features[0].desc, jax.Array)
@@ -89,8 +87,27 @@ class FeatureMatcher:
             is_binary=features[0].is_binary,
             mesh=mesh,
         )
+        return self.matches_from_host(pair_ij, res, n)
 
-        for k in range(len(pair_ij)):
+    def match_stacked_dispatch(self, feats, img_sizes, is_binary, *,
+                               n_images, mesh=None):
+        """Dispatch the batched matcher on stacked detection arrays without
+        fetching (the engine's async path — its results device_get fuses
+        with the detection fetch)."""
+        from .pipeline import match_stack_dispatch
+
+        return match_stack_dispatch(
+            feats, np.asarray(img_sizes, np.float32),
+            matcher_type=self.matcher_type,
+            match_conf=float(self.match_conf),
+            range_width=self.range_width,
+            is_binary=is_binary, mesh=mesh, n_images=n_images)
+
+    def matches_from_host(self, pair_ij, res, n):
+        """Build the reference-shaped flat N x N MatchesInfo list from the
+        fetched batched-match results."""
+        result = [MatchesInfo() for _ in range(n * n)]
+        for k in range(len(pair_ij) if res is not None else 0):
             i, j = int(pair_ij[k, 0]), int(pair_ij[k, 1])
             fwd, bwd = self._pair_infos(res, k, i, j)
             result[i * n + j] = fwd

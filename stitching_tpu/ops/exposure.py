@@ -353,10 +353,14 @@ def _solve_block_gains(sums, cnts, origin, bs, C, n, ncy, ncx):
         has_pair[:, j] |= both
 
     for c in range(C):
-        Ac = A_all[c] + 1e-9 * np.eye(n, dtype=np.float32)
-        sol = np.asarray(jnp.linalg.solve(
-            jnp.asarray(Ac), jnp.asarray(bvec)[..., None]))[..., 0]
-        g = np.where(has_pair, sol, 1.0)                 # (cells, n)
+        # host numpy solve: the system is tiny ((cells, n, n) with n images
+        # and a few hundred cells) and solving on device would cost an
+        # upload that queues behind the background ORIGINAL chunk stream
+        # (transfers are FIFO; see transfer.py)
+        Ac = (A_all[c] + 1e-9 * np.eye(n, dtype=np.float32)).astype(
+            np.float64)
+        sol = np.linalg.solve(Ac, bvec.astype(np.float64)[..., None])[..., 0]
+        g = np.where(has_pair, sol.astype(np.float32), 1.0)  # (cells, n)
         gains[..., c] = g.T.reshape(n, ncy, ncx)
 
     return origin, bs, gains, present

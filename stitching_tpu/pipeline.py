@@ -288,17 +288,16 @@ def _match_kernel(desc, valid, xy, centers, pair_ij, seeds, match_conf, *,
     return jax.vmap(match_one)(pair_ij, seeds, *nn)
 
 
-def match_stack(feats, img_sizes, *, matcher_type="homography",
-                match_conf=0.3, range_width=-1, is_binary=True, mesh=None,
-                n_images=None):
-    """Match every image pair in one dispatch; results pulled to host.
+def match_stack_dispatch(feats, img_sizes, *, matcher_type="homography",
+                         match_conf=0.3, range_width=-1, is_binary=True,
+                         mesh=None, n_images=None):
+    """Dispatch the batched pair matcher WITHOUT fetching results.
 
-    feats: stacked detection dict from `detect_stack`. img_sizes: (B, 2)
-    true (w, h) — the homography model centers coordinates on the image
-    center (cv.detail convention); the affine model uses raw pixels.
-
-    Returns (pair_list, results) where results is a dict of numpy arrays
-    with leading pair axis.
+    Returns (pair_list, [(device_out, n_valid), ...]) — one entry per pair
+    chunk. Fetch with `match_stack_fetch` (or bundle the device dicts into
+    one `jax.device_get` together with other pending results — the engine
+    fuses this with the detection fetch so registration has exactly one
+    host sync point).
     """
     n = n_images if n_images is not None else feats["desc"].shape[0]
     pair_ij = make_pairs(n, range_width)
@@ -348,7 +347,30 @@ def match_stack(feats, img_sizes, *, matcher_type="homography",
             _shard_batch(jnp.asarray(seed_pad), mesh),
             jnp.float32(match_conf),
             is_binary=is_binary, model=model, pallas_pairs=pallas_pairs)
-        host = jax.device_get(out)
-        chunks.append({k: np.asarray(v)[:hi - lo] for k, v in host.items()})
-    host = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
-    return pair_ij, host
+        chunks.append((out, hi - lo))
+    return pair_ij, chunks
+
+
+def match_stack_fetch(chunks):
+    """Pull dispatched match chunks to host -> dict of numpy arrays."""
+    host_chunks = [({k: np.asarray(v)[:nv] for k, v in
+                     jax.device_get(out).items()})
+                   for out, nv in chunks]
+    return {k: np.concatenate([c[k] for c in host_chunks])
+            for k in host_chunks[0]}
+
+
+def match_stack(feats, img_sizes, **kwargs):
+    """Match every image pair; results pulled to host (dispatch + fetch).
+
+    feats: stacked detection dict from `detect_stack`. img_sizes: (B, 2)
+    true (w, h) — the homography model centers coordinates on the image
+    center (cv.detail convention); the affine model uses raw pixels.
+
+    Returns (pair_list, results) where results is a dict of numpy arrays
+    with leading pair axis.
+    """
+    pair_ij, chunks = match_stack_dispatch(feats, img_sizes, **kwargs)
+    if chunks is None:
+        return pair_ij, None
+    return pair_ij, match_stack_fetch(chunks)

@@ -88,3 +88,34 @@ def test_strip_blend_matches_monolithic():
     diff = np.abs(striped.astype(int) - mono.astype(int))
     # identical up to uint8 rounding of float accumulation order
     assert diff.max() <= 1, (diff.max(), (diff > 1).mean())
+
+
+def test_stream_composite_matches_batched():
+    """The streaming compositor (per-image donated-accumulator feeds) must
+    reproduce `blend_stack` exactly for every blender kind: same plan, same
+    per-image feed math, same accumulation order."""
+    from stitching_tpu.compose import StreamComposite, blend_stack
+
+    rng = np.random.default_rng(7)
+    b, th, tw = 3, 128, 256
+    data = rng.uniform(0, 255, (b, th, tw, 3)).astype(np.float32)
+    masks = np.zeros((b, th, tw), np.float32)
+    seams = np.zeros((b, th, tw), np.float32)
+    sizes = np.asarray([(200, 100), (256, 128), (180, 90)], np.int64)
+    corners = np.asarray([(0, 0), (150, 20), (310, 5)], np.int64)
+    for i, (w, h) in enumerate(sizes):
+        masks[i, :h, :w] = 255
+        seams[i, :h, : (w * 2) // 3] = 255
+    ts = TileStack(jnp.asarray(data), jnp.asarray(masks), corners, sizes)
+    seams_d = jnp.asarray(seams)
+
+    for kind in ("multiband", "feather", "no"):
+        pano_b, mask_b = blend_stack(ts, seams_d, kind, 5)
+        stream = StreamComposite(corners, sizes, kind, 5, th, tw)
+        for i in range(b):
+            stream.feed(i, ts.data[i], seams_d[i])
+        pano_s, mask_s = stream.finish()
+        np.testing.assert_array_equal(np.asarray(pano_b), np.asarray(pano_s),
+                                      err_msg=kind)
+        np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(mask_s),
+                                      err_msg=kind)
