@@ -984,8 +984,11 @@ def _blend_strips_mesh(stack, seam_masks, nb, wh, ww, ph, pw_local, dh, dw,
 
 # accumulator budget for the monolithic multiband program; beyond it the
 # canvas splits into X-strips (override via env for tests)
-_BLEND_BUDGET_BYTES = int(float(os.environ.get(
-    "STITCHING_TPU_BLEND_BUDGET", 4e9)))
+def _blend_budget_bytes():
+    """Read per call so the STITCHING_TPU_BLEND_BUDGET override works
+    whenever it is set, not only before import (tests exercise exactly
+    the env path users are documented to use)."""
+    return int(float(os.environ.get("STITCHING_TPU_BLEND_BUDGET", 4e9)))
 
 
 def _plan_blend(corners, sizes, b, blender_type, blend_strength, th, twd):
@@ -1074,10 +1077,11 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
         # (tall fisheye tiles spanning the canvas stay monolithic — their
         # per-chunk pyramid memory is already bounded by `chunk`)
         acc_bytes = ph * pw * (stack.data.shape[-1] + 1) * 4 * 8 // 3
-        if acc_bytes > _BLEND_BUDGET_BYTES:
+        budget = _blend_budget_bytes()
+        if acc_bytes > budget:
             # bound per-strip width so local accumulators fit the budget
             per_col = ph * (stack.data.shape[-1] + 1) * 4 * 8 // 3
-            strip_w = max(int(_BLEND_BUDGET_BYTES // (2 * per_col))
+            strip_w = max(int(budget // (2 * per_col))
                           - 2 * ww, max(256, m))
             strip_w = (strip_w // m) * m
             return _blend_strips(stack, seam_masks, nb, m, gap, wh, ww,

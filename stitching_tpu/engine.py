@@ -373,9 +373,29 @@ def plan_composition(st, reg: Registration) -> CompositionPlan:
 # FINAL pass: fully device-resident compositing
 # ---------------------------------------------------------------------------
 
+def _stream_fits_budget(st, reg, plan):
+    """Stream only when the monolithic accumulators fit the blend budget;
+    beyond it the batched path's X-strip decomposition takes over."""
+    from .compose import _blend_budget_bytes, plan_warp_rois
+
+    aspect = reg.images.get_ratio(Resolution.MEDIUM, Resolution.FINAL)
+    Ks = [Warper.get_K(cam, aspect) for cam in reg.cameras]
+    Rs = [cam.R for cam in reg.cameras]
+    sizes = [tuple(map(int, s))
+             for s in reg.images.get_scaled_img_sizes(Resolution.FINAL)]
+    corners, dsizes = plan_warp_rois(sizes, Ks, Rs, reg.scale * aspect,
+                                     st.warper.warper_type)
+    x0 = corners[:, 0].min()
+    y0 = corners[:, 1].min()
+    dw = int((corners[:, 0] + dsizes[:, 0]).max() - x0)
+    dh = int((corners[:, 1] + dsizes[:, 1]).max() - y0)
+    acc_bytes = dh * dw * 4 * 4 * 8 // 3   # (C+1) ch * f32 * pyramid
+    return acc_bytes <= _blend_budget_bytes()
+
+
 def composite(st, reg: Registration, plan: CompositionPlan):
     if (reg.uploader is not None and not st.timelapser.do_timelapse
-            and _mesh_of(st) is None):
+            and _mesh_of(st) is None and _stream_fits_budget(st, reg, plan)):
         return _composite_streamed(st, reg, plan)
     with prof.stage_timer("final/warp"):
         fin = warp_resolution(st, reg, Resolution.FINAL)

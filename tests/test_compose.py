@@ -78,12 +78,12 @@ def test_strip_blend_matches_monolithic():
     seams = stack.masks
 
     mono = np.asarray(blend_stack(stack, seams, "multiband", 5)[0])
-    old = compose._BLEND_BUDGET_BYTES
-    compose._BLEND_BUDGET_BYTES = 1  # force strips
+    import os
+    os.environ["STITCHING_TPU_BLEND_BUDGET"] = "1"  # force strips
     try:
         striped = np.asarray(blend_stack(stack, seams, "multiband", 5)[0])
     finally:
-        compose._BLEND_BUDGET_BYTES = old
+        del os.environ["STITCHING_TPU_BLEND_BUDGET"]
     assert striped.shape == mono.shape
     diff = np.abs(striped.astype(int) - mono.astype(int))
     # identical up to uint8 rounding of float accumulation order

@@ -47,10 +47,13 @@ def predicted_shape(size_wh, K, Rs, warper_type, scale=None):
     return (max(e[1] for e in ends) - y0, max(e[0] for e in ends) - x0)
 
 
-def assert_shape_close(actual_hw, expected_hw, rel=0.08):
-    np.testing.assert_allclose(
-        actual_hw, expected_hw,
-        atol=max(12.0, rel * max(expected_hw)))
+def assert_shape_close(actual_hw, expected_hw, atol=8.0):
+    """Reference-style ABSOLUTE shape tolerance (the reference pins its
+    golden shapes at +-3..+-600 absolute, tests/test_stitcher.py:74-185).
+    Measured deviations here are +-1..2 px on every config except fisheye
+    (whose warp ROI amplifies the focal estimate); callers pass a larger
+    atol only there."""
+    np.testing.assert_allclose(actual_hw, expected_hw, atol=atol)
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +86,10 @@ def test_conf_pair_vs_opencv_engine():
     oracle = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
     status, ref = oracle.stitch(imgs)
     assert status == cv2.Stitcher_OK
-    assert_shape_close(pano.shape[:2], ref.shape[:2])
+    # cv2 is the oracle on IDENTICAL inputs: the reference's own s-set
+    # contract is +-3 (tests/test_stitcher.py:74-81); +-5 absorbs RANSAC
+    # draw differences across OpenCV builds
+    assert_shape_close(pano.shape[:2], ref.shape[:2], atol=5)
 
 
 # ---------------------------------------------------------------------------
@@ -97,8 +103,11 @@ def test_conf_fisheye_wave_no_dp_colorgrad():
     pano = Stitcher(warper_type="fisheye", wave_correct_kind="no",
                     finder="dp_colorgrad", compensator="no",
                     crop=False).stitch(imgs)
+    # fisheye's warp ROI is the one config where the estimated focal
+    # moves the predicted union noticeably (measured ~50 px of 1430)
     assert_shape_close(
-        pano.shape[:2], predicted_shape((480, 360), K, Rs, "fisheye"))
+        pano.shape[:2], predicted_shape((480, 360), K, Rs, "fisheye"),
+        atol=80)
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +123,8 @@ def test_conf_compressedplane_channel_blocks():
                     crop=False).stitch(imgs)
     assert_shape_close(
         pano.shape[:2],
-        predicted_shape((480, 360), K, Rs, "compressedPlaneA2B1"))
+        predicted_shape((480, 360), K, Rs, "compressedPlaneA2B1"),
+        atol=12)
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +158,9 @@ def test_conf_affine_sift_vs_opencv_scans():
     oracle = cv2.Stitcher_create(cv2.Stitcher_SCANS)
     status, ref = oracle.stitch(imgs)
     assert status == cv2.Stitcher_OK
-    assert_shape_close(pano.shape[:2], ref.shape[:2])
+    # cv2 SCANS oracle on identical inputs (reference budapest contract is
+    # +-50, tests/test_stitcher.py:173-185; measured deviation here: 1 px)
+    assert_shape_close(pano.shape[:2], ref.shape[:2], atol=10)
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +179,7 @@ def test_conf_feature_masks_end_to_end():
     pano_plain = AffineStitcher(crop=False).stitch(imgs)
     # same geometry recovered despite the mask constraint
     assert_shape_close(pano_masked.shape[:2], pano_plain.shape[:2],
-                       rel=0.02)
+                       atol=6)
 
 
 # ---------------------------------------------------------------------------

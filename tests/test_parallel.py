@@ -56,6 +56,7 @@ def test_strip_blend_mesh_matches_monolithic():
                         + " --xla_force_host_platform_device_count=8")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = """
+import os
 import sys
 sys.path.insert(0, %r)
 import jax
@@ -64,7 +65,6 @@ jax.config.update("jax_compilation_cache_dir", %r + "/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
-import stitching_tpu.compose as compose
 from stitching_tpu.compose import TileStack, blend_stack
 from stitching_tpu.parallel.mesh import make_mesh
 
@@ -77,7 +77,7 @@ sizes = [(tw, th)] * n
 stack = TileStack(jnp.asarray(data), jnp.asarray(mk),
                   np.asarray(corners, np.int64), np.asarray(sizes, np.int64))
 mono = np.asarray(blend_stack(stack, stack.masks, "multiband", 5)[0])
-compose._BLEND_BUDGET_BYTES = 1
+os.environ["STITCHING_TPU_BLEND_BUDGET"] = "1"
 mesh = make_mesh(8)
 striped = np.asarray(blend_stack(stack, stack.masks, "multiband", 5,
                                  mesh=mesh)[0])

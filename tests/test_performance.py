@@ -1,0 +1,103 @@
+"""Performance / memory regression harness.
+
+The reference pins its performance in CI by running the package against the
+vendored OpenCV sample on the same host and asserting peak memory <= sample
++10% and wall time <= sample +5%
+(/root/reference/tests/test_performance.py:92-100). This repo's analog pins
+the engine against ITS OWN recorded numbers (tests/perf_baseline.json,
+keyed by backend so CPU CI and TPU runs each compare like-for-like):
+
+- throughput >= 0.8x the recorded megapixels/s (a change that halves
+  throughput fails CI);
+- peak RSS <= 1.25x the recorded peak (a change that doubles memory fails).
+
+The workload runs in a SUBPROCESS so ru_maxrss reflects this pipeline run
+alone, not whatever the rest of the suite allocated first.
+
+Re-record after an intentional perf change:
+    python tests/test_performance.py --record
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+_BASELINE = os.path.join(_HERE, "perf_baseline.json")
+
+_WORKLOAD = """
+import os, sys, time, resource, json
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
+import jax
+jax.config.update("jax_platforms", os.environ.get("STPU_PERF_BACKEND",
+                                                  "cpu"))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join({repo!r}, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+from fixtures import rotation_set
+from stitching_tpu import Stitcher
+
+imgs, K, Rs = rotation_set(n=6, size=(800, 600), focal=700.0, max_angle=0.5)
+pano = Stitcher(crop=False).stitch(imgs)   # warm (compile)
+best = 1e9
+for _ in range(3):
+    t0 = time.time()
+    pano = Stitcher(crop=False).stitch(imgs)
+    best = min(best, time.time() - t0)
+mp = pano.shape[0] * pano.shape[1] / 1e6
+print("PERF_JSON " + json.dumps(dict(
+    mps=round(mp / best, 4),
+    peak_rss_mb=round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024))))
+"""
+
+
+def _run_workload(backend="cpu"):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = backend
+    env["STPU_PERF_BACKEND"] = backend
+    code = _WORKLOAD.format(repo=_REPO, tests=_HERE)
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=_REPO,
+                         capture_output=True, text=True, timeout=1700)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("PERF_JSON ")][-1]
+    return json.loads(line[len("PERF_JSON "):])
+
+
+@pytest.mark.slow
+def test_perf_and_memory_regression():
+    with open(_BASELINE) as fh:
+        baselines = json.load(fh)
+    backend = "cpu"   # CI backend; TPU runs re-record under their own key
+    if backend not in baselines:
+        pytest.skip(f"no recorded baseline for backend {backend}")
+    base = baselines[backend]
+    got = _run_workload(backend)
+    assert got["mps"] >= 0.8 * base["mps"], (
+        f"throughput regression: {got['mps']} MP/s < 0.8 * recorded "
+        f"{base['mps']} MP/s ({base['workload']})")
+    assert got["peak_rss_mb"] <= 1.25 * base["peak_rss_mb"], (
+        f"memory regression: peak RSS {got['peak_rss_mb']} MB > 1.25 * "
+        f"recorded {base['peak_rss_mb']} MB ({base['workload']})")
+
+
+if __name__ == "__main__":
+    if "--record" in sys.argv:
+        backend = "cpu"
+        got = _run_workload(backend)
+        with open(_BASELINE) as fh:
+            baselines = json.load(fh)
+        baselines[backend] = dict(
+            workload="6x 800x600 rotation set, defaults, crop=False",
+            mps=got["mps"], peak_rss_mb=got["peak_rss_mb"])
+        with open(_BASELINE, "w") as fh:
+            json.dump(baselines, fh, indent=2)
+            fh.write("\n")
+        print("recorded:", baselines[backend])
+    else:
+        print(__doc__)
