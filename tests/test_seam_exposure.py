@@ -186,3 +186,79 @@ def test_dp_seam_ownership_vs_cv2_oracle():
 
     # (c) our seam mismatch energy <= the oracle's
     assert seam_energy(ours) <= seam_energy(cv_out) + 1e-6
+
+
+def _tile_stack_from(imgs, corners, masks):
+    import jax.numpy as jnp
+
+    from stitching_tpu.compose import TileStack
+    b = len(imgs)
+    th = max(m.shape[0] for m in masks)
+    tw = max(m.shape[1] for m in masks)
+    data = np.zeros((b, th, tw, 3), np.float32)
+    mk = np.zeros((b, th, tw), np.float32)
+    sizes = np.zeros((b, 2), np.int64)
+    for i, (im, m) in enumerate(zip(imgs, masks)):
+        h, w = m.shape
+        data[i, :h, :w] = im
+        mk[i, :h, :w] = m
+        sizes[i] = (w, h)
+    return TileStack(jnp.asarray(data), jnp.asarray(mk),
+                     np.asarray(corners, np.int64), sizes)
+
+
+def test_voronoi_stack_matches_host():
+    """The device voronoi path (`find_stack`) must reproduce the host
+    pairwise/global partition exactly (same nearest-unique-territory rule,
+    same lower-index tie-breaking)."""
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, (160, 520, 3), np.uint8)
+    imgs = [base[:, :256].copy(), base[:, 128:384].copy(),
+            base[:, 264:].copy()]
+    corners = [(0, 0), (128, 0), (264, 0)]
+    masks = [np.full((160, 256), 255, np.uint8) for _ in range(3)]
+    finder = SeamFinder("voronoi")
+    host = finder.find(imgs, corners, masks)
+
+    stack = _tile_stack_from(imgs, corners, masks)
+    dev = np.asarray(finder.find_stack(stack))
+    for i, m in enumerate(host):
+        h, w = m.shape
+        np.testing.assert_array_equal(dev[i, :h, :w] > 0, m > 0,
+                                      err_msg=f"img {i}")
+
+
+def test_gc_stack_matches_host_two_images():
+    """For a two-image overlap the batched gc path sees the same inputs as
+    the sequential host path -> identical cuts."""
+    imgs, corners, masks = _overlap_pair()
+    finder = SeamFinder("gc_color")
+    host = finder.find(imgs, corners, masks)
+    stack = _tile_stack_from(imgs, corners, masks)
+    dev = np.asarray(finder.find_stack(stack))
+    for i, m in enumerate(host):
+        h, w = m.shape
+        np.testing.assert_array_equal(dev[i, :h, :w] > 0, m > 0,
+                                      err_msg=f"img {i}")
+
+
+def test_gc_stack_covers_multi():
+    """Multi-image batched gc: the seam masks must still tile the union
+    (every covered canvas pixel owned by >= 1 image; exclusive regions
+    keep their owner)."""
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 255, (96, 400, 3), np.uint8)
+    imgs = [base[:, :192].copy(), base[:, 96:288].copy(),
+            base[:, 208:].copy()]
+    corners = [(0, 0), (96, 0), (208, 0)]
+    masks = [np.full((96, 192), 255, np.uint8) for _ in range(3)]
+    finder = SeamFinder("gc_color")
+    stack = _tile_stack_from(imgs, corners, masks)
+    dev = np.asarray(finder.find_stack(stack))
+    canvas = np.zeros((96, 400), np.int32)
+    for i, c in enumerate(corners):
+        canvas[:, c[0]:c[0] + 192] += (dev[i, :96, :192] > 0)
+    assert (canvas >= 1).all()   # full coverage
+    # exclusive (non-overlap) territory always stays owned
+    assert (dev[0, :96, :96] > 0).all()
+    assert (dev[2, :96, 96:192] > 0).all()
