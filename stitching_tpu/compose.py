@@ -828,10 +828,15 @@ def fetch_image(img):
     return flat.reshape(h, w, -1)
 
 
-def _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w):
+def _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w, kind="multiband"):
     """Host plan for X-strip blending: per-strip membership (bucketed to a
-    common count), local origins, and a common local width."""
-    S = gap + (1 << (nb + 1))
+    common count), local origins, and a common local width.
+
+    Support margin S: multiband needs border context for the feed +
+    collapse pyr_up chain; feather/paste weights are computed per tile
+    window with no cross-strip dependency, so their strips are exact with
+    S = 0."""
+    S = gap + (1 << (nb + 1)) if kind == "multiband" else 0
     members = []
     for cs in range(0, dw, strip_w):
         ce = min(cs + strip_w, dw)
@@ -852,25 +857,53 @@ def _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w):
     return members, max_k, pw_local
 
 
-def _blend_strips(stack, seam_masks, nb, m, gap, wh, ww, ph, pw, tl, dh, dw,
-                  offs, shifts, szs, strip_w, mesh=None):
-    """Multiband blend in X-strips with exact overlap margins.
+def _balance_strips(members, n_dev):
+    """Order strips so each device's contiguous block carries a near-even
+    share of tile-feed work (greedy longest-processing-time assignment by
+    member count). Returns (perm, n_pad): strip perm[p] goes to slot p;
+    device d owns slots [d*n_pad/D, (d+1)*n_pad/D)."""
+    n_s = len(members)
+    n_pad = -(-n_s // n_dev) * n_dev
+    per_dev = n_pad // n_dev
+    order = sorted(range(n_s), key=lambda s: -len(members[s][4]))
+    buckets = [[] for _ in range(n_dev)]
+    loads = [0] * n_dev
+    for s in order:
+        d = min(range(n_dev),
+                key=lambda k: (loads[k], len(buckets[k])))
+        if len(buckets[d]) >= per_dev:
+            d = min((k for k in range(n_dev) if len(buckets[k]) < per_dev),
+                    key=lambda k: (loads[k], len(buckets[k])))
+        buckets[d].append(s)
+        loads[d] += len(members[s][4])
+    perm = []
+    for d in range(n_dev):
+        blk = buckets[d] + [-1] * (per_dev - len(buckets[d]))
+        perm.extend(blk)
+    return perm, n_pad
 
-    For canvases whose band accumulators exceed the memory budget, the
-    canvas splits into column strips. Each strip's local program includes
-    every tile whose window could influence the strip's interior (support
-    S = gap + 2^(nb+1) border context for the feed plus the collapse
-    pyr_up chain), so per-strip interiors equal the monolithic blend
-    exactly; only accumulator memory shrinks (by pw / strip_w).
+
+def _blend_strips(stack, seam_masks, kind, nb, m, gap, wh, ww, ph, pw, tl,
+                  dh, dw, offs, shifts, szs, strip_w, sharpness=0.0,
+                  mesh=None):
+    """Blend in X-strips with exact overlap margins (all blender kinds).
+
+    For canvases whose accumulators exceed the memory budget, the canvas
+    splits into column strips. Each strip's local program includes every
+    tile whose window could influence the strip's interior (multiband:
+    support S = gap + 2^(nb+1) border context for the feed plus the
+    collapse pyr_up chain; feather/paste: tiles overlapping the strip —
+    their weights are per-tile-window, so S = 0), making per-strip
+    interiors equal the monolithic blend exactly; only accumulator memory
+    shrinks (by pw / strip_w).
 
     This is the canvas-parallel decomposition of SURVEY §2c: with a mesh,
-    the STRIP axis is sharded across the devices (each device owns a set
-    of canvas column ranges and blends them independently — border
-    context arrives by replicating the tile stack and overlapping the
-    strip membership, so no halo collectives are needed), and per-device
-    canvas memory is bounded by one strip regardless of panorama width.
+    the STRIP axis is sharded across the devices and each device receives
+    ONLY the tiles its strips reference (host-gathered per-device tile
+    unions — input memory scales with the device's strip span, not the
+    image count), with strips balanced across devices by member count.
     """
-    plan = _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w)
+    plan = _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w, kind)
     C = stack.data.shape[-1]
     pano = jnp.zeros((dh, dw, C), jnp.uint8)
     wmask = jnp.zeros((dh, dw), jnp.uint8)
@@ -879,9 +912,9 @@ def _blend_strips(stack, seam_masks, nb, m, gap, wh, ww, ph, pw, tl, dh, dw,
     members, max_k, pw_local = plan
 
     if mesh is not None:
-        return _blend_strips_mesh(stack, seam_masks, nb, wh, ww, ph,
+        return _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph,
                                   pw_local, dh, dw, offs, shifts, szs,
-                                  members, max_k, strip_w, mesh)
+                                  members, max_k, strip_w, sharpness, mesh)
 
     for cs, ce, ls, le, keep in members:
         if not keep:
@@ -895,10 +928,10 @@ def _blend_strips(stack, seam_masks, nb, m, gap, wh, ww, ph, pw, tl, dh, dw,
         sub_szs[len(keep):] = 1  # padded duplicates contribute ~nothing
         sub_seams = jnp.where(
             (jnp.arange(max_k) < len(keep))[:, None, None], sub_seams, 0.0)
-        prog = _blend_program("multiband", nb, wh, ww, ph, pw_local, None)
+        prog = _blend_program(kind, nb, wh, ww, ph, pw_local, None)
         strip, w0 = prog(sub_tiles, sub_seams, jnp.asarray(sub_offs),
                          jnp.asarray(shifts[idx]), jnp.asarray(sub_szs),
-                         jnp.float32(0.0))
+                         jnp.float32(sharpness))
         x0 = cs - ls
         seg = _to_u8(jax.lax.dynamic_slice(
             strip, (0, x0, 0), (dh, ce - cs, strip.shape[2])))
@@ -909,76 +942,129 @@ def _blend_strips(stack, seam_masks, nb, m, gap, wh, ww, ph, pw, tl, dh, dw,
     return pano, wmask
 
 
-def _blend_strips_mesh(stack, seam_masks, nb, wh, ww, ph, pw_local, dh, dw,
-                       offs, shifts, szs, members, max_k, strip_w, mesh):
-    """Strip-sharded SPMD blend: strips distributed over the mesh devices;
-    each device runs its local strips sequentially (lax.map) with bounded
-    band memory; the strip interiors come back sharded and assemble into
-    the panorama."""
+def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph, pw_local,
+                       dh, dw, offs, shifts, szs, members, max_k, strip_w,
+                       sharpness, mesh):
+    """Strip-sharded SPMD blend.
+
+    Strips are balanced across devices by member count (greedy LPT) and
+    each device receives only the UNION of tiles its strips reference:
+    the tile stack is gathered per device on host and placed with the
+    device axis sharded, so per-device bytes are
+    O(own strips' tiles + one strip's accumulators) — both independent of
+    the total image count. Strip membership indices remap to each
+    device's local subset; no collectives are needed (strip interiors are
+    independent; border context is included in the membership)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]
     D = int(mesh.devices.size)
     n_s = len(members)
-    n_pad = -(-n_s // D) * D
+    perm, n_pad = _balance_strips(members, D)
+    per_dev = n_pad // D
 
-    # uniform per-strip tensors (host)
+    # per-device tile unions (host gather; hosts see the full stack but
+    # devices only their subset)
+    host_tiles, host_seams = None, None
+    dev_locals = []   # per device: list of global tile ids
+    for d in range(D):
+        ids = sorted({i for p in range(d * per_dev, (d + 1) * per_dev)
+                      if perm[p] >= 0
+                      for i in members[perm[p]][4]})
+        dev_locals.append(ids or [0])
+    max_u = max(len(ids) for ids in dev_locals)
+    for d in range(D):
+        ids = dev_locals[d]
+        dev_locals[d] = ids + [ids[-1]] * (max_u - len(ids))
+
+    TH, TW = int(stack.data.shape[1]), int(stack.data.shape[2])
+    C = stack.data.shape[-1]
+    host_tiles = np.asarray(stack.data)
+    host_seams = np.asarray(seam_masks)
+    sub_tiles = np.stack([host_tiles[ids] for ids in dev_locals])
+    sub_seams = np.stack([host_seams[ids] for ids in dev_locals])
+
+    # uniform per-strip tensors in PERMUTED slot order, with membership
+    # indices remapped into the owning device's local subset
     gat = np.zeros((n_pad, max_k), np.int32)
     s_offs = np.zeros((n_pad, max_k, 2), np.int32)
     s_shifts = np.zeros((n_pad, max_k, 2), np.int32)
     s_szs = np.ones((n_pad, max_k, 2), np.int32)
     s_live = np.zeros((n_pad, max_k), np.float32)
     s_x0 = np.zeros((n_pad,), np.int32)
-    for s, (cs, ce, ls, le, keep) in enumerate(members):
+    for p in range(n_pad):
+        s = perm[p]
+        if s < 0:
+            continue
+        cs, ce, ls, le, keep = members[s]
+        d = p // per_dev
+        local_of = {g: k for k, g in enumerate(dev_locals[d])}
         idx = keep + [keep[-1]] * (max_k - len(keep))
-        gat[s] = idx
-        s_offs[s] = offs[idx]
-        s_offs[s, :, 0] -= ls
-        s_shifts[s] = shifts[idx]
-        s_szs[s, :len(keep)] = szs[keep]
-        s_live[s, :len(keep)] = 1.0
-        s_x0[s] = cs - ls
+        gat[p] = [local_of[g] for g in idx]
+        s_offs[p] = offs[idx]
+        s_offs[p, :, 0] -= ls
+        s_shifts[p] = shifts[idx]
+        s_szs[p, :len(keep)] = szs[keep]
+        s_live[p, :len(keep)] = 1.0
+        s_x0[p] = cs - ls
 
-    axis_name = mesh.axis_names[0]
-
-    def one_strip(args):
+    def one_strip(tiles_loc, seams_loc, args):
         idx, so, ssh, ssz, live, x0 = args
-        tiles = stack_data[idx]
-        seams = seam_stack[idx] * live[:, None, None]
-        acc, wacc = _mb_feed_batched(tiles, seams, so, ssh, ssz, nb,
-                                     wh, ww, ph, pw_local,
-                                     vary_axis=axis_name)
-        laps = [acc[lv] / (wacc[lv] + 1e-5) for lv in range(nb + 1)]
-        from .ops.pyramid import collapse_laplacian
+        tiles = tiles_loc[idx]
+        seams = seams_loc[idx] * live[:, None, None]
+        if kind == "multiband":
+            acc, wacc = _mb_feed_batched(tiles, seams, so, ssh, ssz, nb,
+                                         wh, ww, ph, pw_local,
+                                         vary_axis=axis)
+            laps = [acc[lv] / (wacc[lv] + 1e-5) for lv in range(nb + 1)]
+            from .ops.pyramid import collapse_laplacian
 
-        strip = collapse_laplacian(laps)
+            strip = collapse_laplacian(laps)
+            wmap = wacc[0][..., 0]
+        elif kind == "feather":
+            acc, wsum = _feather_feed_batched(
+                tiles, seams, so, ssh, ssz, jnp.float32(sharpness),
+                ph, pw_local, vary_axis=axis)
+            strip = acc / jnp.maximum(wsum[..., None], 1e-5)
+            wmap = wsum
+        else:
+            strip, wmap = _paste_feed_batched(
+                tiles, seams, so, ssh, ssz, ph, pw_local, vary_axis=axis)
         seg = _to_u8(jax.lax.dynamic_slice(
             strip, (0, x0, 0), (dh, strip_w, strip.shape[2])))
         wseg = _wmap_to_u8(jax.lax.dynamic_slice(
-            wacc[0][..., 0], (0, x0), (dh, strip_w)))
+            wmap, (0, x0), (dh, strip_w)))
         return seg, wseg
 
-    stack_data = stack.data
-    seam_stack = seam_masks
-
-    def local(idx, so, ssh, ssz, live, x0):
-        return jax.lax.map(one_strip, (idx, so, ssh, ssz, live, x0))
+    def local(tiles_loc, seams_loc, idx, so, ssh, ssz, live, x0):
+        return jax.lax.map(
+            lambda a: one_strip(tiles_loc[0], seams_loc[0], a),
+            (idx, so, ssh, ssz, live, x0))
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)),
         out_specs=(P(axis), P(axis)))
 
     def put(a):
+        a = np.asarray(a)
         return jax.device_put(jnp.asarray(a), NamedSharding(
-            mesh, P(axis, *([None] * (np.asarray(a).ndim - 1)))))
+            mesh, P(axis, *([None] * (a.ndim - 1)))))
 
-    segs, wsegs = jax.jit(sharded)(put(gat), put(s_offs), put(s_shifts),
-                                   put(s_szs), put(s_live), put(s_x0))
-    # assemble: strips are consecutive strip_w column spans
-    pano = jnp.swapaxes(segs[:n_s], 0, 1).reshape(dh, n_s * strip_w, -1)
-    wmask = jnp.swapaxes(wsegs[:n_s], 0, 1).reshape(dh, n_s * strip_w)
+    segs, wsegs = jax.jit(sharded)(
+        put(sub_tiles), put(sub_seams), put(gat), put(s_offs),
+        put(s_shifts), put(s_szs), put(s_live), put(s_x0))
+    # un-permute: slot p holds strip perm[p]'s strip_w-column span
+    inv = np.full((n_s,), 0, np.int64)
+    for p, s in enumerate(perm):
+        if s >= 0:
+            inv[s] = p
+    segs = segs[jnp.asarray(inv)]
+    wsegs = wsegs[jnp.asarray(inv)]
+    pano = jnp.swapaxes(segs, 0, 1).reshape(dh, n_s * strip_w, -1)
+    wmask = jnp.swapaxes(wsegs, 0, 1).reshape(dh, n_s * strip_w)
     return pano[:, :dw], wmask[:, :dw]
 
 
@@ -1072,7 +1158,7 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
                                   p["tl"], p["dh"], p["dw"])
     offs, shifts, szs, n = p["offs"], p["shifts"], p["szs"], p["n"]
 
-    if kind == "multiband" and ww <= pw // 3:
+    if ww <= pw // 3:
         # strips only pay when windows are much narrower than the canvas
         # (tall fisheye tiles spanning the canvas stay monolithic — their
         # per-chunk pyramid memory is already bounded by `chunk`)
@@ -1084,9 +1170,10 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
             strip_w = max(int(budget // (2 * per_col))
                           - 2 * ww, max(256, m))
             strip_w = (strip_w // m) * m
-            return _blend_strips(stack, seam_masks, nb, m, gap, wh, ww,
-                                 ph, pw, tl, dh, dw, offs[:n], shifts[:n],
-                                 szs[:n], strip_w, mesh=mesh)
+            return _blend_strips(stack, seam_masks, kind, nb, m, gap, wh,
+                                 ww, ph, pw, tl, dh, dw, offs[:n],
+                                 shifts[:n], szs[:n], strip_w,
+                                 sharpness=sharpness, mesh=mesh)
 
     prog = _blend_program(kind, nb, wh, ww, ph, pw, mesh)
     pano, wmap = prog(stack.data, seam_masks, jnp.asarray(offs),

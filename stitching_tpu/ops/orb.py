@@ -145,31 +145,41 @@ def _level_quotas(nfeatures: int, n_levels: int):
     return quotas
 
 
-def _orientation(img, xs, ys):
-    """Intensity-centroid angle (radians) for keypoints at (xs, ys) int32."""
+def _orientation_pyr(pyr, lvls, xs, ys, lws, lhs):
+    """Intensity-centroid angle sampled from the stacked pyramid.
+
+    pyr: (L, H, W) padded level stack; lvls/xs/ys: (N,) int32 per-keypoint
+    level + level-local coords; lws/lhs: (L,) level extents for clamping.
+    """
     d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
     dy, dx = jnp.meshgrid(d, d, indexing="ij")  # (31, 31)
-    h, w = img.shape
-    yy = jnp.clip(ys[:, None, None] + dy[None], 0, h - 1)
-    xx = jnp.clip(xs[:, None, None] + dx[None], 0, w - 1)
-    patches = img[yy, xx] * jnp.asarray(CIRC_MASK)[None]
+    w_kp = lws[lvls][:, None, None].astype(jnp.int32)
+    h_kp = lhs[lvls][:, None, None].astype(jnp.int32)
+    yy = jnp.clip(ys[:, None, None] + dy[None], 0, h_kp - 1)
+    xx = jnp.clip(xs[:, None, None] + dx[None], 0, w_kp - 1)
+    patches = pyr[lvls[:, None, None], yy, xx] * jnp.asarray(CIRC_MASK)[None]
     m10 = jnp.sum(patches * dx[None], axis=(1, 2))
     m01 = jnp.sum(patches * dy[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
-def _brief_descriptors(img_blur, xs, ys, angles, pattern=BRIEF_PATTERN):
-    """Steered BRIEF bits: (N, n_bits) float32 of {0, 1}."""
+def _brief_descriptors_pyr(pyr_blur, lvls, xs, ys, angles, lws, lhs,
+                           pattern=BRIEF_PATTERN):
+    """Steered BRIEF bits from the stacked blurred pyramid:
+    (N, n_bits) float32 of {0, 1}."""
     pat = jnp.asarray(pattern, jnp.float32)  # (n_bits, 2, 2) (bit, pt, xy)
     cos, sin = jnp.cos(angles), jnp.sin(angles)    # (N,)
     px, py = pat[..., 0], pat[..., 1]              # (256, 2)
     # Rotate pattern per keypoint: (N, 256, 2)
-    rx = jnp.round(px[None] * cos[:, None, None] - py[None] * sin[:, None, None])
-    ry = jnp.round(px[None] * sin[:, None, None] + py[None] * cos[:, None, None])
-    h, w = img_blur.shape
-    sx = jnp.clip(xs[:, None, None] + rx.astype(jnp.int32), 0, w - 1)
-    sy = jnp.clip(ys[:, None, None] + ry.astype(jnp.int32), 0, h - 1)
-    vals = img_blur[sy, sx]  # (N, 256, 2)
+    rx = jnp.round(px[None] * cos[:, None, None]
+                   - py[None] * sin[:, None, None])
+    ry = jnp.round(px[None] * sin[:, None, None]
+                   + py[None] * cos[:, None, None])
+    w_kp = lws[lvls][:, None, None].astype(jnp.int32)
+    h_kp = lhs[lvls][:, None, None].astype(jnp.int32)
+    sx = jnp.clip(xs[:, None, None] + rx.astype(jnp.int32), 0, w_kp - 1)
+    sy = jnp.clip(ys[:, None, None] + ry.astype(jnp.int32), 0, h_kp - 1)
+    vals = pyr_blur[lvls[:, None, None], sy, sx]  # (N, 256, 2)
     return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
 
 
@@ -186,13 +196,17 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
     h, w = gray.shape
     sizes = _level_sizes(h, w)
     quotas = _level_quotas(nfeatures, len(sizes))
-    pattern = BRIEF_PATTERN
 
-    cand = {k: [] for k in ("score", "xy", "angle", "desc", "lvl", "inq")}
+    # Phase 1: per-level corner scoring + candidate positions only.
+    # Orientation/descriptor sampling (the gather-descriptor-bound cost)
+    # waits until AFTER global selection, so it runs for nfeatures
+    # keypoints instead of ~2.5x that many candidates.
+    cand = {k: [] for k in ("score", "x", "y", "lvl", "inq")}
+    level_imgs = []
     for lvl, (lh, lw) in enumerate(sizes):
-        scale = (SCALE_FACTOR ** lvl)
         img = gray if lvl == 0 else jax.image.resize(
             gray, (lh, lw), method="linear")
+        level_imgs.append(img)
         corners = fast_corners(img)
         score = harris_response(img)
 
@@ -215,35 +229,26 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
         score = jnp.where(score >= mx, score, neg_inf)
 
         # Static top-k: quota + headroom for the global fill pass.
+        # approx_max_k is the TPU-native two-stage reduction (exact on
+        # CPU); after 3x3 NMS the survivors are sparse, so the >=95%
+        # recall target only ever drops far-down-the-ranking candidates.
         k_cap = min(2 * quotas[lvl] + 32, lh * lw)
-        top_scores, top_idx = jax.lax.top_k(score.reshape(-1), k_cap)
+        top_scores, top_idx = jax.lax.approx_max_k(
+            score.reshape(-1), k_cap)
         ys = (top_idx // lw).astype(jnp.int32)
         xs = (top_idx % lw).astype(jnp.int32)
         ok = top_scores > neg_inf / 2
 
-        ang = _orientation(img, xs, ys)
-        img_blur = _blur_for_desc(img)
-        desc = _brief_descriptors(img_blur, xs, ys, ang, pattern)
-
         rank = jnp.arange(k_cap)
         cand["score"].append(jnp.where(ok, top_scores, neg_inf))
-        # Corner-aligned x*scale mapping (cv.ORB convention). The half-pixel
-        # alternative ((x+0.5)*w/lw-0.5) was measured WORSE on the
-        # reprojection-error gate (tests/test_conformance.py) — at ORB's
-        # 1.2x ladder the difference is sub-pixel and the corner convention
-        # empirically matches FAST's localization bias better.
-        cand["xy"].append(jnp.stack(
-            [xs.astype(jnp.float32) * scale, ys.astype(jnp.float32) * scale],
-            axis=-1))
-        cand["angle"].append(ang)
-        cand["desc"].append(desc)
+        cand["x"].append(xs)
+        cand["y"].append(ys)
         cand["lvl"].append(jnp.full((k_cap,), lvl, jnp.int32))
         cand["inq"].append((rank < quotas[lvl]) & ok)
 
     score_all = jnp.concatenate(cand["score"])
-    xy_all = jnp.concatenate(cand["xy"])
-    ang_all = jnp.concatenate(cand["angle"])
-    desc_all = jnp.concatenate(cand["desc"])
+    x_all = jnp.concatenate(cand["x"])
+    y_all = jnp.concatenate(cand["y"])
     lvl_all = jnp.concatenate(cand["lvl"])
     inq_all = jnp.concatenate(cand["inq"])
 
@@ -253,14 +258,42 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
     sel_score = jnp.where(ok_all, score_all * 1e-20 + boost, -jnp.inf)
     n_out = min(nfeatures, sel_score.shape[0])
     _, sel = jax.lax.top_k(sel_score, n_out)
-
     out_valid = ok_all[sel]
+    sel_x = x_all[sel]
+    sel_y = y_all[sel]
+    sel_lvl = lvl_all[sel]
+
+    # Phase 2: stack the pyramid levels (padded to the base extent) and
+    # sample orientation + steered BRIEF only for the selected keypoints.
+    pyr = jnp.stack([
+        jnp.pad(im, ((0, h - im.shape[0]), (0, w - im.shape[1])))
+        for im in level_imgs])
+    pyr_blur = jnp.stack([
+        jnp.pad(_blur_for_desc(im),
+                ((0, h - im.shape[0]), (0, w - im.shape[1])))
+        for im in level_imgs])
+    lws = jnp.asarray([lw for (lh2, lw) in sizes], jnp.int32)
+    lhs = jnp.asarray([lh2 for (lh2, lw) in sizes], jnp.int32)
+    scales = jnp.asarray([SCALE_FACTOR ** i for i in range(len(sizes))],
+                         jnp.float32)
+    ang = _orientation_pyr(pyr, sel_lvl, sel_x, sel_y, lws, lhs)
+    desc = _brief_descriptors_pyr(pyr_blur, sel_lvl, sel_x, sel_y, ang,
+                                  lws, lhs)
+
+    sc = scales[sel_lvl]
     out = dict(
-        xy=xy_all[sel],
+        # Corner-aligned x*scale mapping (cv.ORB convention). The half-pixel
+        # alternative ((x+0.5)*w/lw-0.5) was measured WORSE on the
+        # reprojection-error gate (tests/test_conformance.py) — at ORB's
+        # 1.2x ladder the difference is sub-pixel and the corner convention
+        # empirically matches FAST's localization bias better.
+        xy=jnp.stack([sel_x.astype(jnp.float32) * sc,
+                      sel_y.astype(jnp.float32) * sc], axis=-1),
         response=jnp.where(out_valid, score_all[sel], 0.0),
-        size=PATCH_SIZE * (SCALE_FACTOR ** lvl_all[sel].astype(jnp.float32)),
-        angle_deg=jnp.degrees(jnp.mod(ang_all[sel], 2 * jnp.pi)),
-        desc=desc_all[sel] * out_valid[:, None],
+        size=PATCH_SIZE * (SCALE_FACTOR
+                           ** sel_lvl.astype(jnp.float32)),
+        angle_deg=jnp.degrees(jnp.mod(ang, 2 * jnp.pi)),
+        desc=desc * out_valid[:, None],
         valid=out_valid,
     )
     if n_out < nfeatures:

@@ -77,17 +77,18 @@ def test_strip_blend_matches_monolithic():
                       np.asarray(sizes, np.int64))
     seams = stack.masks
 
-    mono = np.asarray(blend_stack(stack, seams, "multiband", 5)[0])
     import os
-    os.environ["STITCHING_TPU_BLEND_BUDGET"] = "1"  # force strips
-    try:
-        striped = np.asarray(blend_stack(stack, seams, "multiband", 5)[0])
-    finally:
-        del os.environ["STITCHING_TPU_BLEND_BUDGET"]
-    assert striped.shape == mono.shape
-    diff = np.abs(striped.astype(int) - mono.astype(int))
-    # identical up to uint8 rounding of float accumulation order
-    assert diff.max() <= 1, (diff.max(), (diff > 1).mean())
+    for kind in ("multiband", "feather", "no"):
+        mono = np.asarray(blend_stack(stack, seams, kind, 5)[0])
+        os.environ["STITCHING_TPU_BLEND_BUDGET"] = "1"  # force strips
+        try:
+            striped = np.asarray(blend_stack(stack, seams, kind, 5)[0])
+        finally:
+            del os.environ["STITCHING_TPU_BLEND_BUDGET"]
+        assert striped.shape == mono.shape, kind
+        diff = np.abs(striped.astype(int) - mono.astype(int))
+        # identical up to uint8 rounding of float accumulation order
+        assert diff.max() <= 1, (kind, diff.max(), (diff > 1).mean())
 
 
 def test_stream_composite_matches_batched():
