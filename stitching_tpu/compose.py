@@ -822,7 +822,10 @@ def _flatten_minor(img):
 
 def fetch_image(img):
     """Device->host transfer of an (H, W, C) image via the flattened
-    layout (measurably faster over high-latency links)."""
+    layout (measurably faster over high-latency links). Host arrays
+    (already stream-fetched strip blends) pass through."""
+    if isinstance(img, np.ndarray):
+        return img
     h, w = img.shape[0], img.shape[1]
     flat = np.asarray(_flatten_minor(img))
     return flat.reshape(h, w, -1)
@@ -837,14 +840,15 @@ def _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w, kind="multiband"):
     window with no cross-strip dependency, so their strips are exact with
     S = 0."""
     S = gap + (1 << (nb + 1)) if kind == "multiband" else 0
+    offs = np.asarray(offs).reshape(-1)   # strip-axis window offsets
     members = []
     for cs in range(0, dw, strip_w):
         ce = min(cs + strip_w, dw)
         keep = [i for i in range(len(szs))
-                if offs[i, 0] + ww > cs - S and offs[i, 0] < ce + S]
+                if offs[i] + ww > cs - S and offs[i] < ce + S]
         if keep:
-            ls = min(min(offs[i, 0] for i in keep), cs)
-            le = max(max(offs[i, 0] + ww for i in keep), cs + strip_w)
+            ls = min(min(offs[i] for i in keep), cs)
+            le = max(max(offs[i] + ww for i in keep), cs + strip_w)
         else:
             ls, le = cs, cs + strip_w
         ls = max((ls // m) * m, 0)
@@ -885,17 +889,25 @@ def _balance_strips(members, n_dev):
 
 def _blend_strips(stack, seam_masks, kind, nb, m, gap, wh, ww, ph, pw, tl,
                   dh, dw, offs, shifts, szs, strip_w, sharpness=0.0,
-                  mesh=None):
-    """Blend in X-strips with exact overlap margins (all blender kinds).
+                  mesh=None, axis=0, stream_fetch=False):
+    """Blend in strips along canvas axis `axis` (0 = column/X strips,
+    1 = row/Y strips), with exact overlap margins (all blender kinds).
 
     For canvases whose accumulators exceed the memory budget, the canvas
-    splits into column strips. Each strip's local program includes every
-    tile whose window could influence the strip's interior (multiband:
-    support S = gap + 2^(nb+1) border context for the feed plus the
-    collapse pyr_up chain; feather/paste: tiles overlapping the strip —
-    their weights are per-tile-window, so S = 0), making per-strip
-    interiors equal the monolithic blend exactly; only accumulator memory
-    shrinks (by pw / strip_w).
+    splits into strips along whichever axis the tile windows are narrow
+    against (wide panoramas -> X strips; tall multi-row canvases -> Y
+    strips). Each strip's local program includes every tile whose window
+    could influence the strip's interior (multiband: support S = gap +
+    2^(nb+1) border context for the feed plus the collapse pyr_up chain;
+    feather/paste: tiles overlapping the strip — their weights are
+    per-tile-window, so S = 0), making per-strip interiors equal the
+    monolithic blend exactly; only accumulator memory shrinks.
+
+    stream_fetch=True (single chip): each strip's uint8 segment is fetched
+    to host by a background thread WHILE later strips compute, and the
+    return value is a HOST (pano, mask) pair — the device->host transfer
+    of a giant panorama fully overlaps its own compute instead of running
+    after it.
 
     This is the canvas-parallel decomposition of SURVEY §2c: with a mesh,
     the STRIP axis is sharded across the devices and each device receives
@@ -903,19 +915,34 @@ def _blend_strips(stack, seam_masks, kind, nb, m, gap, wh, ww, ph, pw, tl,
     unions — input memory scales with the device's strip span, not the
     image count), with strips balanced across devices by member count.
     """
-    plan = _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w, kind)
+    a = int(axis)
+    win_a = (ww, wh)[a]         # window extent along the strip axis
+    da = (dw, dh)[a]            # canvas extent along the strip axis
+    plan = _plan_strips(offs[:, a], szs, win_a, m, gap, nb, da, strip_w,
+                        kind)
     C = stack.data.shape[-1]
-    pano = jnp.zeros((dh, dw, C), jnp.uint8)
-    wmask = jnp.zeros((dh, dw), jnp.uint8)
     if plan is None:
-        return pano, wmask
-    members, max_k, pw_local = plan
+        return (jnp.zeros((dh, dw, C), jnp.uint8),
+                jnp.zeros((dh, dw), jnp.uint8))
+    members, max_k, pa_local = plan
+    # local program dims: the strip axis shrinks to pa_local
+    lph, lpw = (ph, pa_local) if a == 0 else (pa_local, pw)
 
     if mesh is not None:
-        return _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph,
-                                  pw_local, dh, dw, offs, shifts, szs,
-                                  members, max_k, strip_w, sharpness, mesh)
+        return _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww,
+                                  lph, lpw, dh, dw, offs, shifts, szs,
+                                  members, max_k, strip_w, sharpness,
+                                  mesh, a)
 
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(1) if stream_fetch else None
+    fetches = []
+    pano = None if stream_fetch else jnp.zeros((dh, dw, C), jnp.uint8)
+    wmask = None if stream_fetch else jnp.zeros((dh, dw), jnp.uint8)
+    if stream_fetch:
+        pano = np.zeros((dh, dw, C), np.uint8)
+        wmask = np.zeros((dh, dw), np.uint8)
     for cs, ce, ls, le, keep in members:
         if not keep:
             continue
@@ -923,28 +950,54 @@ def _blend_strips(stack, seam_masks, kind, nb, m, gap, wh, ww, ph, pw, tl,
         sub_tiles = stack.data[jnp.asarray(idx)]
         sub_seams = seam_masks[jnp.asarray(idx)]
         sub_offs = offs[idx].copy()
-        sub_offs[:, 0] -= ls
+        sub_offs[:, a] -= ls
         sub_szs = szs[idx].copy()
         sub_szs[len(keep):] = 1  # padded duplicates contribute ~nothing
         sub_seams = jnp.where(
             (jnp.arange(max_k) < len(keep))[:, None, None], sub_seams, 0.0)
-        prog = _blend_program(kind, nb, wh, ww, ph, pw_local, None)
+        prog = _blend_program(kind, nb, wh, ww, lph, lpw, None)
         strip, w0 = prog(sub_tiles, sub_seams, jnp.asarray(sub_offs),
                          jnp.asarray(shifts[idx]), jnp.asarray(sub_szs),
                          jnp.float32(sharpness))
         x0 = cs - ls
-        seg = _to_u8(jax.lax.dynamic_slice(
-            strip, (0, x0, 0), (dh, ce - cs, strip.shape[2])))
-        pano = jax.lax.dynamic_update_slice(pano, seg, (0, cs, 0))
-        wseg = _wmap_to_u8(jax.lax.dynamic_slice(w0, (0, x0),
-                                                 (dh, ce - cs)))
-        wmask = jax.lax.dynamic_update_slice(wmask, wseg, (0, cs))
+        if a == 0:
+            seg = _to_u8(jax.lax.dynamic_slice(
+                strip, (0, x0, 0), (dh, ce - cs, strip.shape[2])))
+            wseg = _wmap_to_u8(jax.lax.dynamic_slice(
+                w0, (0, x0), (dh, ce - cs)))
+        else:
+            seg = _to_u8(jax.lax.dynamic_slice(
+                strip, (x0, 0, 0), (ce - cs, dw, strip.shape[2])))
+            wseg = _wmap_to_u8(jax.lax.dynamic_slice(
+                w0, (x0, 0), (ce - cs, dw)))
+        if stream_fetch:
+            # fetch THIS strip in the background while later strips
+            # compute (downloads ride the duplex link's other direction)
+            fetches.append(pool.submit(
+                lambda s=seg, ws=wseg, c0=cs, c1=ce:
+                (c0, c1, fetch_image(s), np.asarray(ws))))
+        elif a == 0:
+            pano = jax.lax.dynamic_update_slice(pano, seg, (0, cs, 0))
+            wmask = jax.lax.dynamic_update_slice(wmask, wseg, (0, cs))
+        else:
+            pano = jax.lax.dynamic_update_slice(pano, seg, (cs, 0, 0))
+            wmask = jax.lax.dynamic_update_slice(wmask, wseg, (cs, 0))
+    if stream_fetch:
+        for f in fetches:
+            c0, c1, seg_h, wseg_h = f.result()
+            if a == 0:
+                pano[:, c0:c1] = seg_h
+                wmask[:, c0:c1] = wseg_h
+            else:
+                pano[c0:c1] = seg_h
+                wmask[c0:c1] = wseg_h
+        pool.shutdown()
     return pano, wmask
 
 
-def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph, pw_local,
+def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, lph, lpw,
                        dh, dw, offs, shifts, szs, members, max_k, strip_w,
-                       sharpness, mesh):
+                       sharpness, mesh, a=0):
     """Strip-sharded SPMD blend.
 
     Strips are balanced across devices by member count (greedy LPT) and
@@ -1003,7 +1056,7 @@ def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph, pw_local,
         idx = keep + [keep[-1]] * (max_k - len(keep))
         gat[p] = [local_of[g] for g in idx]
         s_offs[p] = offs[idx]
-        s_offs[p, :, 0] -= ls
+        s_offs[p, :, a] -= ls
         s_shifts[p] = shifts[idx]
         s_szs[p, :len(keep)] = szs[keep]
         s_live[p, :len(keep)] = 1.0
@@ -1015,7 +1068,7 @@ def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph, pw_local,
         seams = seams_loc[idx] * live[:, None, None]
         if kind == "multiband":
             acc, wacc = _mb_feed_batched(tiles, seams, so, ssh, ssz, nb,
-                                         wh, ww, ph, pw_local,
+                                         wh, ww, lph, lpw,
                                          vary_axis=axis)
             laps = [acc[lv] / (wacc[lv] + 1e-5) for lv in range(nb + 1)]
             from .ops.pyramid import collapse_laplacian
@@ -1025,16 +1078,22 @@ def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph, pw_local,
         elif kind == "feather":
             acc, wsum = _feather_feed_batched(
                 tiles, seams, so, ssh, ssz, jnp.float32(sharpness),
-                ph, pw_local, vary_axis=axis)
+                lph, lpw, vary_axis=axis)
             strip = acc / jnp.maximum(wsum[..., None], 1e-5)
             wmap = wsum
         else:
             strip, wmap = _paste_feed_batched(
-                tiles, seams, so, ssh, ssz, ph, pw_local, vary_axis=axis)
-        seg = _to_u8(jax.lax.dynamic_slice(
-            strip, (0, x0, 0), (dh, strip_w, strip.shape[2])))
-        wseg = _wmap_to_u8(jax.lax.dynamic_slice(
-            wmap, (0, x0), (dh, strip_w)))
+                tiles, seams, so, ssh, ssz, lph, lpw, vary_axis=axis)
+        if a == 0:
+            seg = _to_u8(jax.lax.dynamic_slice(
+                strip, (0, x0, 0), (dh, strip_w, strip.shape[2])))
+            wseg = _wmap_to_u8(jax.lax.dynamic_slice(
+                wmap, (0, x0), (dh, strip_w)))
+        else:
+            seg = _to_u8(jax.lax.dynamic_slice(
+                strip, (x0, 0, 0), (strip_w, dw, strip.shape[2])))
+            wseg = _wmap_to_u8(jax.lax.dynamic_slice(
+                wmap, (x0, 0), (strip_w, dw)))
         return seg, wseg
 
     def local(tiles_loc, seams_loc, idx, so, ssh, ssz, live, x0):
@@ -1063,9 +1122,13 @@ def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, ph, pw_local,
             inv[s] = p
     segs = segs[jnp.asarray(inv)]
     wsegs = wsegs[jnp.asarray(inv)]
-    pano = jnp.swapaxes(segs, 0, 1).reshape(dh, n_s * strip_w, -1)
-    wmask = jnp.swapaxes(wsegs, 0, 1).reshape(dh, n_s * strip_w)
-    return pano[:, :dw], wmask[:, :dw]
+    if a == 0:
+        pano = jnp.swapaxes(segs, 0, 1).reshape(dh, n_s * strip_w, -1)
+        wmask = jnp.swapaxes(wsegs, 0, 1).reshape(dh, n_s * strip_w)
+        return pano[:, :dw], wmask[:, :dw]
+    pano = segs.reshape(n_s * strip_w, dw, -1)
+    wmask = wsegs.reshape(n_s * strip_w, dw)
+    return pano[:dh], wmask[:dh]
 
 
 # accumulator budget for the monolithic multiband program; beyond it the
@@ -1133,7 +1196,7 @@ def _plan_blend(corners, sizes, b, blender_type, blend_strength, th, twd):
 
 
 def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
-                mesh=None):
+                mesh=None, stream_fetch=False):
     """Composite the stack into the final panorama: one jitted feed-scan +
     collapse, one uint8 device->host transfer.
 
@@ -1158,22 +1221,36 @@ def blend_stack(stack: TileStack, seam_masks, blender_type, blend_strength,
                                   p["tl"], p["dh"], p["dw"])
     offs, shifts, szs, n = p["offs"], p["shifts"], p["szs"], p["n"]
 
-    if ww <= pw // 3:
-        # strips only pay when windows are much narrower than the canvas
-        # (tall fisheye tiles spanning the canvas stay monolithic — their
-        # per-chunk pyramid memory is already bounded by `chunk`)
-        acc_bytes = ph * pw * (stack.data.shape[-1] + 1) * 4 * 8 // 3
-        budget = _blend_budget_bytes()
-        if acc_bytes > budget:
-            # bound per-strip width so local accumulators fit the budget
-            per_col = ph * (stack.data.shape[-1] + 1) * 4 * 8 // 3
-            strip_w = max(int(budget // (2 * per_col))
-                          - 2 * ww, max(256, m))
+    acc_bytes = ph * pw * (stack.data.shape[-1] + 1) * 4 * 8 // 3
+    budget = _blend_budget_bytes()
+    if acc_bytes > budget:
+        # strip axis: whichever canvas axis the tile windows are narrow
+        # against (wide panoramas -> X strips; tall multi-row canvases ->
+        # Y strips). If windows span >1/3 of BOTH axes (single huge tiles)
+        # strips cannot pay and the chunked monolithic feed bounds memory.
+        ratios = (ww / pw, wh / ph)
+        a = int(np.argmin(ratios))
+        if ratios[a] <= 1 / 3:
+            win_a = (ww, wh)[a]
+            # bytes per unit length of the strip axis (a full column of
+            # accumulators for X strips, a full row for Y strips)
+            per_unit = (ph if a == 0 else pw) \
+                * (stack.data.shape[-1] + 1) * 4 * 8 // 3
+            strip_w = max(int(budget // (2 * per_unit)) - 2 * win_a,
+                          max(256, m))
             strip_w = (strip_w // m) * m
             return _blend_strips(stack, seam_masks, kind, nb, m, gap, wh,
                                  ww, ph, pw, tl, dh, dw, offs[:n],
                                  shifts[:n], szs[:n], strip_w,
-                                 sharpness=sharpness, mesh=mesh)
+                                 sharpness=sharpness, mesh=mesh, axis=a,
+                                 stream_fetch=stream_fetch)
+        if stream_fetch and mesh is None:
+            # huge windows (boat-fisheye shape): strips would recompute
+            # most of the canvas per strip — stream the FETCH instead by
+            # feeding in Y order and collapsing finalized row bands
+            return _blend_monolithic_stream(
+                stack, seam_masks, kind, nb, m, gap, wh, ww, ph, pw,
+                dh, dw, offs[:n], shifts[:n], szs[:n], sharpness)
 
     prog = _blend_program(kind, nb, wh, ww, ph, pw, mesh)
     pano, wmap = prog(stack.data, seam_masks, jnp.asarray(offs),
@@ -1322,16 +1399,160 @@ class StreamComposite:
         else:
             self.state = _paste_feed_one(a, b, tile, seam, off, shift, size)
 
-    def finish(self):
-        """Collapse and crop: (pano_u8, mask_u8) device arrays."""
+    def finish(self, stream_fetch=False):
+        """Collapse and crop: (pano_u8, mask_u8).
+
+        stream_fetch=True: collapse in row bands and fetch each band in a
+        background thread while the next collapses (the panorama transfer
+        overlaps the collapse), returning HOST arrays; otherwise one
+        collapse returning device arrays."""
         p = self.p
         a, b = self.state
-        if p["kind"] == "multiband":
-            pano, wmap = _mb_collapse_kernel(a, b, nb=p["nb"])
-        elif p["kind"] == "feather":
-            pano, wmap = _feather_norm_kernel(a, b)
+        if not stream_fetch:
+            if p["kind"] == "multiband":
+                pano, wmap = _mb_collapse_kernel(a, b, nb=p["nb"])
+            elif p["kind"] == "feather":
+                pano, wmap = _feather_norm_kernel(a, b)
+            else:
+                pano, wmap = a, b
+            pano8 = _to_u8(pano[:p["dh"], :p["dw"]])
+            mask8 = _wmap_to_u8(wmap[:p["dh"], :p["dw"]])
+            return pano8, mask8
+
+        import concurrent.futures as cf
+
+        dh, dw, m, nb = p["dh"], p["dw"], p["m"], p["nb"]
+        halo = max(2 ** (nb + 2), m) if p["kind"] == "multiband" else 0
+        band = max(1024, -(-(dh // 4) // m) * m)
+        pano = np.zeros((dh, dw, self.C), np.uint8)
+        wmask = np.zeros((dh, dw), np.uint8)
+        with cf.ThreadPoolExecutor(1) as pool:
+            fetches = []
+            for r0 in range(0, dh, band):
+                r1 = min(r0 + band, dh)
+                seg, wseg = _collapse_band(self.state, p["kind"], nb, m,
+                                           halo, p["ph"], dw, r0, r1)
+                fetches.append(pool.submit(
+                    lambda s=seg, ws=wseg, x=r0, y=r1:
+                    (x, y, fetch_image(s), np.asarray(ws))))
+            for f in fetches:
+                r0, r1, seg_h, wseg_h = f.result()
+                pano[r0:r1] = seg_h
+                wmask[r0:r1] = wseg_h
+        return pano, wmask
+
+
+def _collapse_band(state, kind, nb, m, halo, ph, dw, r0, r1):
+    """Rows [r0, r1) of the final panorama as (seg_u8, wseg_u8), collapsed
+    from accumulator `state` with pyr_up halo (exact vs the full collapse)."""
+    from .ops.pyramid import collapse_laplacian
+
+    a0 = max(r0 - halo, 0)
+    a1 = min(-(-(r1 + halo) // m) * m, ph)
+    a0 = (a0 // m) * m
+    if kind == "multiband":
+        acc, wacc = state
+        laps = [acc[lv][a0 >> lv:a1 >> lv] /
+                (wacc[lv][a0 >> lv:a1 >> lv] + 1e-5)
+                for lv in range(nb + 1)]
+        band = collapse_laplacian(laps)
+        wmap = wacc[0][a0:a1, ..., 0]
+    elif kind == "feather":
+        acc, wsum = state
+        band = acc[a0:a1] / jnp.maximum(wsum[a0:a1, :, None], 1e-5)
+        wmap = wsum[a0:a1]
+    else:
+        band, wmap = state[0][a0:a1], state[1][a0:a1]
+    seg = _to_u8(band[r0 - a0:r1 - a0, :dw])
+    wseg = _wmap_to_u8(wmap[r0 - a0:r1 - a0, :dw])
+    return seg, wseg
+
+
+# ---------------------------------------------------------------------------
+# Frontier-streamed monolithic blend (giant canvases whose tile windows are
+# too large for strip decomposition)
+# ---------------------------------------------------------------------------
+
+def _blend_monolithic_stream(stack, seam_masks, kind, nb, m, gap, wh, ww,
+                             ph, pw, dh, dw, offs, shifts, szs, sharpness):
+    """Monolithic-accumulator blend with Y-frontier streaming.
+
+    When tile windows span more than a third of BOTH canvas axes (single
+    huge tiles — the boat-fisheye shape), strip decomposition would
+    recompute nearly the whole canvas per strip. Instead the tiles feed in
+    ascending window-top order into ONE set of accumulators, and whenever
+    every remaining tile's window lies strictly below a row frontier, the
+    finalized rows above it collapse as a band (with 2^(nb+2) pyr_up halo)
+    and fetch to host in a background thread — the giant panorama's
+    device->host transfer overlaps its own feed/collapse compute instead
+    of following it. Band interiors equal the monolithic collapse exactly
+    (the halo covers the pyr_up chain's support).
+
+    Returns HOST (pano_u8, mask_u8).
+    """
+    import concurrent.futures as cf
+
+    from .ops.pyramid import collapse_laplacian
+
+    C = stack.data.shape[-1]
+    n = len(szs)
+    order = sorted(range(n), key=lambda i: offs[i, 1])
+    halo = max(2 ** (nb + 2), m) if kind == "multiband" else 0
+
+    if kind == "multiband":
+        state = (
+            tuple(jnp.zeros((ph >> l, pw >> l, C), jnp.float32)
+                  for l in range(nb + 1)),
+            tuple(jnp.zeros((ph >> l, pw >> l, 1), jnp.float32)
+                  for l in range(nb + 1)))
+    else:
+        state = (jnp.zeros((ph, pw, C), jnp.float32),
+                 jnp.zeros((ph, pw), jnp.float32))
+
+
+    pano = np.zeros((dh, dw, C), np.uint8)
+    wmask = np.zeros((dh, dw), np.uint8)
+    pool = cf.ThreadPoolExecutor(1)
+    fetches = []
+    done = 0
+
+    def emit(state, upto):
+        nonlocal done
+        r0, r1 = done, min(upto, dh)
+        if r1 <= r0:
+            return
+        seg, wseg = _collapse_band(state, kind, nb, m, halo, ph, dw,
+                                   r0, r1)
+        fetches.append(pool.submit(
+            lambda s=seg, ws=wseg, a=r0, b=r1:
+            (a, b, fetch_image(s), np.asarray(ws))))
+        done = r1
+
+    for k, i in enumerate(order):
+        tile = stack.data[i]
+        seam = seam_masks[i]
+        off = jnp.asarray(offs[i], jnp.int32)
+        shift = jnp.asarray(shifts[i], jnp.int32)
+        size = jnp.asarray(szs[i], jnp.int32)
+        a, b = state
+        if kind == "multiband":
+            state = _mb_feed_one(a, b, tile, seam, off, shift, size,
+                                 nb=nb, wh=wh, ww=ww)
+        elif kind == "feather":
+            state = _feather_feed_one(a, b, tile, seam, off, shift, size,
+                                      jnp.float32(sharpness))
         else:
-            pano, wmap = a, b
-        pano8 = _to_u8(pano[:p["dh"], :p["dw"]])
-        mask8 = _wmap_to_u8(wmap[:p["dh"], :p["dw"]])
-        return pano8, mask8
+            state = _paste_feed_one(a, b, tile, seam, off, shift, size)
+        # frontier: rows above every remaining tile's window are final
+        if k + 1 < n:
+            frontier = min(int(offs[j, 1]) for j in order[k + 1:])
+            safe = ((frontier - halo) // m) * m
+            if safe - done >= max(1024, 2 * halo):
+                emit(state, safe)
+    emit(state, dh)
+    for f in fetches:
+        r0, r1, seg_h, wseg_h = f.result()
+        pano[r0:r1] = seg_h
+        wmask[r0:r1] = wseg_h
+    pool.shutdown()
+    return pano, wmask

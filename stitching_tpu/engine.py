@@ -430,8 +430,11 @@ def composite(st, reg: Registration, plan: CompositionPlan):
         seams = resize_seam_masks_stack(plan.seam_masks_low, fin)
         prof.fence(seams)
     with prof.stage_timer("final/blend"):
+        # single chip: over-budget canvases stream their fetch (strip- or
+        # frontier-banded), returning a host array fetch_image passes through
         pano_dev, _ = blend_stack(fin, seams, st.blender.blender_type,
-                                  st.blender.blend_strength, _mesh_of(st))
+                                  st.blender.blend_strength, _mesh_of(st),
+                                  stream_fetch=_mesh_of(st) is None)
         prof.fence(pano_dev)
     with prof.stage_timer("final/download"):
         pano = fetch_image(pano_dev)
@@ -544,10 +547,9 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
         reg.low_stack = None
         prof.fence(stream.state)
     with prof.stage_timer("final/blend"):
-        pano_dev, _ = stream.finish()
-        prof.fence(pano_dev)
-    with prof.stage_timer("final/download"):
-        return fetch_image(pano_dev)
+        # banded collapse with the fetch overlapped (host result)
+        pano, _ = stream.finish(stream_fetch=True)
+    return pano
 
 
 def run(st, images, feature_masks=()):

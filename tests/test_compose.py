@@ -120,3 +120,77 @@ def test_stream_composite_matches_batched():
                                       err_msg=kind)
         np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(mask_s),
                                       err_msg=kind)
+
+
+def test_ystrip_blend_matches_monolithic_and_streams():
+    """Tall multi-row canvases strip along Y (the X windows span most of
+    the width); stream_fetch returns the identical panorama as a host
+    array."""
+    import os
+
+    from stitching_tpu.compose import blend_stack
+
+    rng = np.random.RandomState(6)
+    n = 16
+    th, tw = 160, 256
+    arrs, corners, sizes = [], [], []
+    for r in range(8):
+        for c in range(2):
+            arrs.append(rng.randint(0, 255, (th, tw, 3)).astype(np.float32))
+            corners.append((c * 200, r * 140))
+            sizes.append((tw, th))
+    data = np.stack(arrs)
+    mk = np.full((n, th, tw), 255.0, np.float32)
+    stack = TileStack(jnp.asarray(data), jnp.asarray(mk),
+                      np.asarray(corners, np.int64),
+                      np.asarray(sizes, np.int64))
+    mono = np.asarray(blend_stack(stack, stack.masks, "multiband", 5)[0])
+    os.environ["STITCHING_TPU_BLEND_BUDGET"] = "1"
+    try:
+        striped = np.asarray(
+            blend_stack(stack, stack.masks, "multiband", 5)[0])
+        streamed = blend_stack(stack, stack.masks, "multiband", 5,
+                               stream_fetch=True)[0]
+    finally:
+        del os.environ["STITCHING_TPU_BLEND_BUDGET"]
+    assert isinstance(streamed, np.ndarray)
+    for got, label in ((striped, "striped"), (streamed, "streamed")):
+        assert got.shape == mono.shape, label
+        diff = np.abs(got.astype(int) - mono.astype(int))
+        assert diff.max() <= 1, (label, diff.max())
+
+
+def test_monolithic_stream_matches_monolithic():
+    """Frontier-streamed giant-canvas blend (huge windows, no strip
+    decomposition possible) equals the monolithic blend: band collapse
+    with pyr_up halo is exact."""
+    import os
+
+    from stitching_tpu.compose import blend_stack
+
+    rng = np.random.RandomState(8)
+    th, tw = 256, 192
+    arrs, corners, sizes = [], [], []
+    for r in range(3):
+        for c in range(2):
+            arrs.append(rng.randint(0, 255, (th, tw, 3)).astype(np.float32))
+            corners.append((c * 160, r * 220))
+            sizes.append((tw, th))
+    n = len(arrs)
+    data = np.stack(arrs)
+    mk = np.full((n, th, tw), 255.0, np.float32)
+    stack = TileStack(jnp.asarray(data), jnp.asarray(mk),
+                      np.asarray(corners, np.int64),
+                      np.asarray(sizes, np.int64))
+    for kind in ("multiband", "feather"):
+        mono = np.asarray(blend_stack(stack, stack.masks, kind, 5)[0])
+        os.environ["STITCHING_TPU_BLEND_BUDGET"] = "1"
+        try:
+            streamed = blend_stack(stack, stack.masks, kind, 5,
+                                   stream_fetch=True)[0]
+        finally:
+            del os.environ["STITCHING_TPU_BLEND_BUDGET"]
+        assert isinstance(streamed, np.ndarray), kind
+        assert streamed.shape == mono.shape, kind
+        diff = np.abs(streamed.astype(int) - mono.astype(int))
+        assert diff.max() <= 1, (kind, diff.max(), (diff > 1).mean())
