@@ -173,13 +173,17 @@ def main():
         pano = stitcher.stitch(imgs)
         return pano, time.time() - t0
 
-    # warmup (compilation) + timed runs (best of 2 absorbs tunnel jitter)
+    # warmup (compilation) + timed runs (best of 3: the tunnel's transfer
+    # rate swings ~2x on a timescale of minutes, so single runs are not
+    # representative of the pipeline)
     pano, _ = run_once()
     prof.enable()
     prof.reset()
-    pano, dt1 = run_once()
-    _, dt2 = run_once()
-    dt = min(dt1, dt2)
+    dts = []
+    for _ in range(3):
+        pano, dt_i = run_once()
+        dts.append(dt_i)
+    dt = min(dts)
     mp = pano.shape[0] * pano.shape[1] / 1e6
     ours_mps = mp / dt
 
@@ -221,6 +225,7 @@ def main():
                             "crop=False, FINAL=native",
                 "pano_shape": list(pano.shape),
                 "ours_s": round(dt, 3),
+                "ours_s_runs": [round(t, 3) for t in dts],
                 "ours_mps": round(ours_mps, 3),
                 "opencv_mps": (None if ref_mps is None
                                else round(ref_mps, 3)),

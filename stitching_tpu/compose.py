@@ -1366,7 +1366,7 @@ class StreamComposite:
     """
 
     def __init__(self, corners, sizes, blender_type, blend_strength,
-                 th, tw, C=3):
+                 th, tw, C=3, frontier_fetch=False):
         p = _plan_blend(np.asarray(corners), np.asarray(sizes), len(sizes),
                         blender_type, blend_strength, th, tw)
         self.p = p
@@ -1381,6 +1381,36 @@ class StreamComposite:
         else:
             self.state = (jnp.zeros((ph, pw, C), jnp.float32),
                           jnp.zeros((ph, pw), jnp.float32))
+        # X-frontier fetch: once every UNFED image's window lies right of
+        # a column frontier, the finalized columns left of it collapse and
+        # fetch in the background while later images still feed (panorama
+        # image order is near-sorted by x for rotation sequences, so most
+        # of the transfer hides behind the feeds)
+        self._frontier = bool(frontier_fetch)
+        self._unfed = set(range(p["n"]))
+        self._emitted = 0
+        self._fetches = []
+        self._pool = None
+        self._halo = (max(2 ** (p["nb"] + 2), p["m"])
+                      if p["kind"] == "multiband" else 0)
+
+    def _emit_cols(self, upto):
+        """Collapse + background-fetch final columns [emitted, upto)."""
+        import concurrent.futures as cf
+
+        p = self.p
+        c0, c1 = self._emitted, min(upto, p["dw"])
+        if c1 <= c0:
+            return
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(1)
+        seg, wseg = _collapse_band(self.state, p["kind"], p["nb"], p["m"],
+                                   self._halo, p["pw"], p["dh"], c0, c1,
+                                   axis=1)
+        self._fetches.append(self._pool.submit(
+            lambda s=seg, ws=wseg, a=c0, b=c1:
+            (a, b, fetch_image(s), np.asarray(ws))))
+        self._emitted = c1
 
     def feed(self, i, tile, seam):
         """tile: (TH, TW, C) f32 device; seam: (TH, TW) f32 device."""
@@ -1398,6 +1428,13 @@ class StreamComposite:
                 jnp.float32(p["sharpness"]))
         else:
             self.state = _paste_feed_one(a, b, tile, seam, off, shift, size)
+        if self._frontier:
+            self._unfed.discard(i)
+            if self._unfed:
+                frontier = min(p["offs"][j, 0] for j in self._unfed)
+                safe = ((int(frontier) - self._halo) // p["m"]) * p["m"]
+                if safe - self._emitted >= max(512, 2 * self._halo):
+                    self._emit_cols(safe)
 
     def finish(self, stream_fetch=False):
         """Collapse and crop: (pano_u8, mask_u8).
@@ -1408,6 +1445,8 @@ class StreamComposite:
         collapse returning device arrays."""
         p = self.p
         a, b = self.state
+        if self._frontier:
+            stream_fetch = True   # columns were already emitted to host
         if not stream_fetch:
             if p["kind"] == "multiband":
                 pano, wmap = _mb_collapse_kernel(a, b, nb=p["nb"])
@@ -1422,16 +1461,31 @@ class StreamComposite:
         import concurrent.futures as cf
 
         dh, dw, m, nb = p["dh"], p["dw"], p["m"], p["nb"]
-        halo = max(2 ** (nb + 2), m) if p["kind"] == "multiband" else 0
-        band = max(1024, -(-(dh // 4) // m) * m)
         pano = np.zeros((dh, dw, self.C), np.uint8)
         wmask = np.zeros((dh, dw), np.uint8)
+        if self._frontier:
+            # flush the remaining columns in a couple of tail bands so the
+            # last fetch overlaps the second-to-last collapse
+            rest = dw - self._emitted
+            band = max(512, -(-(max(rest, 1) // 2) // m) * m)
+            while self._emitted < dw:
+                self._emit_cols(self._emitted + band)
+            for f in self._fetches:
+                c0, c1, seg_h, wseg_h = f.result()
+                pano[:, c0:c1] = seg_h
+                wmask[:, c0:c1] = wseg_h
+            self._pool.shutdown()
+            return pano, wmask
+
+        halo = self._halo
+        band = max(1024, -(-(dh // 4) // m) * m)
         with cf.ThreadPoolExecutor(1) as pool:
             fetches = []
             for r0 in range(0, dh, band):
                 r1 = min(r0 + band, dh)
                 seg, wseg = _collapse_band(self.state, p["kind"], nb, m,
-                                           halo, p["ph"], dw, r0, r1)
+                                           halo, p["ph"], dw, r0, r1,
+                                           axis=0)
                 fetches.append(pool.submit(
                     lambda s=seg, ws=wseg, x=r0, y=r1:
                     (x, y, fetch_image(s), np.asarray(ws))))
@@ -1442,29 +1496,40 @@ class StreamComposite:
         return pano, wmask
 
 
-def _collapse_band(state, kind, nb, m, halo, ph, dw, r0, r1):
-    """Rows [r0, r1) of the final panorama as (seg_u8, wseg_u8), collapsed
-    from accumulator `state` with pyr_up halo (exact vs the full collapse)."""
+def _collapse_band(state, kind, nb, m, halo, pa, d_other, r0, r1, axis=0):
+    """Span [r0, r1) of the final panorama along `axis` (0 = rows,
+    1 = columns) as (seg_u8, wseg_u8), collapsed from accumulator `state`
+    with pyr_up halo (exact vs the full collapse). `pa` is the accumulator
+    extent along the axis; `d_other` the panorama extent across it."""
     from .ops.pyramid import collapse_laplacian
 
     a0 = max(r0 - halo, 0)
-    a1 = min(-(-(r1 + halo) // m) * m, ph)
+    a1 = min(-(-(r1 + halo) // m) * m, pa)
     a0 = (a0 // m) * m
+
+    def span(x, lv=0):
+        if axis == 0:
+            return x[a0 >> lv:a1 >> lv]
+        return x[:, a0 >> lv:a1 >> lv]
+
     if kind == "multiband":
         acc, wacc = state
-        laps = [acc[lv][a0 >> lv:a1 >> lv] /
-                (wacc[lv][a0 >> lv:a1 >> lv] + 1e-5)
+        laps = [span(acc[lv], lv) / (span(wacc[lv], lv) + 1e-5)
                 for lv in range(nb + 1)]
         band = collapse_laplacian(laps)
-        wmap = wacc[0][a0:a1, ..., 0]
+        wmap = span(wacc[0])[..., 0]
     elif kind == "feather":
         acc, wsum = state
-        band = acc[a0:a1] / jnp.maximum(wsum[a0:a1, :, None], 1e-5)
-        wmap = wsum[a0:a1]
+        band = span(acc) / jnp.maximum(span(wsum)[..., None], 1e-5)
+        wmap = span(wsum)
     else:
-        band, wmap = state[0][a0:a1], state[1][a0:a1]
-    seg = _to_u8(band[r0 - a0:r1 - a0, :dw])
-    wseg = _wmap_to_u8(wmap[r0 - a0:r1 - a0, :dw])
+        band, wmap = span(state[0]), span(state[1])
+    if axis == 0:
+        seg = _to_u8(band[r0 - a0:r1 - a0, :d_other])
+        wseg = _wmap_to_u8(wmap[r0 - a0:r1 - a0, :d_other])
+    else:
+        seg = _to_u8(band[:d_other, r0 - a0:r1 - a0])
+        wseg = _wmap_to_u8(wmap[:d_other, r0 - a0:r1 - a0])
     return seg, wseg
 
 
@@ -1522,7 +1587,7 @@ def _blend_monolithic_stream(stack, seam_masks, kind, nb, m, gap, wh, ww,
         if r1 <= r0:
             return
         seg, wseg = _collapse_band(state, kind, nb, m, halo, ph, dw,
-                                   r0, r1)
+                                   r0, r1, axis=0)
         fetches.append(pool.submit(
             lambda s=seg, ws=wseg, a=r0, b=r1:
             (a, b, fetch_image(s), np.asarray(ws))))

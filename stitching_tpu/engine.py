@@ -1,20 +1,28 @@
 """The batched stitching engine: registration + composition as staged,
-device-resident array programs.
+device-resident array programs scheduled around the host<->device link.
 
 This is the architectural core the `Stitcher` facade drives. Unlike the
 reference's orchestration (`stitching/stitcher.py:94-128`), which walks
 per-image lazy generators with a host round-trip between every stage, the
-engine works on STACKS:
+engine treats the transfer link as the scarce resource (on tunneled TPUs it
+IS the wall clock) and overlaps everything against it:
 
-1. originals upload once as one padded (B, H, W, C) device stack;
-2. every resolution change is one batched resize kernel (`pipeline.py`);
-3. registration (detect, match+RANSAC) is two batched dispatches;
-4. camera math (estimate, bundle-adjust, wave-correct) runs on tiny
-   per-camera tensors;
-5. the LOW pass (crop planning, exposure stats, seam search) warps all
-   images in one dispatch and pulls the small LOW tiles to host ONCE;
-6. the FINAL pass (warp, crop, gain, seam upscale, blend) never leaves the
-   device: `compose.py` kernels end-to-end, one uint8 transfer at the end.
+1. the bulk ORIGINAL upload starts at t=0 and chunk-streams in the
+   background for the entire run (`transfer.Uploader`);
+2. registration works on small host-downscaled stacks uploaded with lane
+   priority — a GRAY medium stack (detection reads luma only) and a color
+   LOW stack — and syncs the host exactly once (fused detect-fields +
+   match-results fetch); camera math (estimate, LM bundle-adjust, wave)
+   runs slower-but-parallel behind the stream;
+3. the LOW pass (crop planning, exposure stats, seam search) is batched
+   dispatches over the LOW stack, device-resident for every seam finder;
+4. the FINAL pass streams per image: resize -> warp -> crop -> gain ->
+   seam upscale -> blend feed dispatch the moment each image's upload
+   lands (`compose.StreamComposite`, donated accumulators), and the
+   panorama collapses + fetches in row bands so the final transfer
+   overlaps the final compute;
+5. the mesh/SPMD path keeps one-shot sharded stack uploads and batched
+   dispatches (pair-parallel registration, strip-sharded blending).
 
 Intermediate state is carried in explicit immutable dataclasses
 (`Registration`, `CompositionPlan`) rather than object attributes, so each
@@ -516,7 +524,8 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
 
         stream = StreamComposite(fin_corners, fin_sizes,
                                  st.blender.blender_type,
-                                 st.blender.blend_strength, fth, ftw, C)
+                                 st.blender.blend_strength, fth, ftw, C,
+                                 frontier_fetch=True)
 
     with prof.stage_timer("final/stream"):
         for i in range(n):

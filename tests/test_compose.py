@@ -194,3 +194,30 @@ def test_monolithic_stream_matches_monolithic():
         assert streamed.shape == mono.shape, kind
         diff = np.abs(streamed.astype(int) - mono.astype(int))
         assert diff.max() <= 1, (kind, diff.max(), (diff > 1).mean())
+
+
+def test_stream_composite_frontier_fetch_matches():
+    """X-frontier streaming (column bands fetched while later images feed)
+    equals the batched blend for each kind."""
+    from stitching_tpu.compose import StreamComposite, blend_stack
+
+    rng = np.random.default_rng(11)
+    b, th, tw = 6, 128, 192
+    data = rng.uniform(0, 255, (b, th, tw, 3)).astype(np.float32)
+    masks = np.full((b, th, tw), 255.0, np.float32)
+    sizes = np.asarray([(tw, th)] * b, np.int64)
+    corners = np.asarray([(i * 150, (i % 2) * 10) for i in range(b)],
+                         np.int64)
+    ts = TileStack(jnp.asarray(data), jnp.asarray(masks), corners, sizes)
+    for kind in ("multiband", "feather", "no"):
+        pano_b, mask_b = blend_stack(ts, ts.masks, kind, 5)
+        stream = StreamComposite(corners, sizes, kind, 5, th, tw,
+                                 frontier_fetch=True)
+        for i in range(b):
+            stream.feed(i, ts.data[i], ts.masks[i])
+        pano_s, mask_s = stream.finish(stream_fetch=True)
+        assert isinstance(pano_s, np.ndarray), kind
+        np.testing.assert_array_equal(np.asarray(pano_b), pano_s,
+                                      err_msg=kind)
+        np.testing.assert_array_equal(np.asarray(mask_b), mask_s,
+                                      err_msg=kind)
