@@ -236,6 +236,13 @@ def main():
                 "peak_device_mem_mb": device_mem_mb(),
                 "kernels": kernels,
                 "stages": prof.get_report(),
+                "stage_semantics": (
+                    "async-dispatch host time per stage; device compute "
+                    "syncs where results are consumed (final/blend holds "
+                    "the FINAL-pass compute + fetch tail; "
+                    "transfer/originals_stream is the background upload "
+                    "span). For per-stage compute attribution run with "
+                    "STITCHING_TPU_PROFILE_FENCE=1 (serializes stages)."),
             }, fh, indent=1)
     except OSError:
         pass

@@ -62,11 +62,24 @@ def main():
     del pano_dev
     pano = blend_stack(stack, stack.masks, "multiband", 5,
                        stream_fetch=True)[0]   # warm the streamed programs
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        pano = blend_stack(stack, stack.masks, "multiband", 5,
+                           stream_fetch=True)[0]
+        assert isinstance(pano, np.ndarray)
+        dts.append(time.time() - t0)
+    dt = min(dts)
+
+    # measure the tunnel's idle download rate right now, so the wall number
+    # can be judged against the link the run actually had (the panorama is
+    # 328 MB of uint8; at the nominal ~35 MB/s the fetch fully overlaps the
+    # ~12 s compute, at degraded rates it cannot)
+    probe = jnp.zeros((16_000_000,), jnp.uint8) + 1
+    np.asarray(probe[0])
     t0 = time.time()
-    pano = blend_stack(stack, stack.masks, "multiband", 5,
-                       stream_fetch=True)[0]
-    assert isinstance(pano, np.ndarray)
-    dt = time.time() - t0
+    np.asarray(probe)
+    down_mbs = round(16.0 / (time.time() - t0), 1)
 
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -79,7 +92,10 @@ def main():
         "canvas": list(pano.shape),
         "megapixels": round(pano.shape[0] * pano.shape[1] / 1e6, 1),
         "blend_wall_s": round(dt, 2),
+        "blend_wall_runs_s": [round(t, 2) for t in dts],
         "blend_compute_s": round(dt_blend, 2),
+        "fetched_mb": round(pano.nbytes / 1e6),
+        "link_down_mbs_after_run": down_mbs,
         "peak_device_mem_mb": peak_mb,
         "note": "6x (5120x4096) tiles, multiband nb from blend_width, "
                 "device-synthesized inputs (no host upload); wall is the "

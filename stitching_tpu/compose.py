@@ -1581,6 +1581,9 @@ def _blend_monolithic_stream(stack, seam_masks, kind, nb, m, gap, wh, ww,
     fetches = []
     done = 0
 
+    # one band per frontier: fewer, larger fetch RPCs measure faster
+    # through the tunnel than many small ones (per-RPC overhead dominates
+    # sub-~50 MB downloads), and the collapse halo is paid once per band
     def emit(state, upto):
         nonlocal done
         r0, r1 = done, min(upto, dh)
