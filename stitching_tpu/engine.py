@@ -31,7 +31,6 @@ registration / LOW planning / FINAL compositing) and all error/warning
 contracts match the reference (`stitching/stitcher.py:94-128`, `images.py`).
 """
 
-import contextlib
 import dataclasses
 
 import jax

@@ -188,36 +188,3 @@ class Uploader:
         self._thread.join()
         if self._error is not None:
             raise self._error
-
-
-class _NullLane:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
-
-
-class HostImages:
-    """Synchronous stand-in with the Uploader interface, for paths where
-    the images are already device-resident or a mesh needs sharded
-    placement (the SPMD path keeps the one-shot stacked upload)."""
-
-    def __init__(self, stack):
-        self._stack = stack   # pipeline.DeviceStack
-
-    def image(self, i):
-        w, h = self._stack.sizes[i]
-        return self._stack.data[i, :h, :w]
-
-    def __len__(self):
-        return int(self._stack.data.shape[0])
-
-    def subset(self, indices):
-        raise NotImplementedError   # engine re-gathers the stack instead
-
-    def yield_lane(self):
-        return _NullLane()
-
-    def join(self):
-        pass
