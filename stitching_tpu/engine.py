@@ -475,8 +475,8 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
         scale = reg.scale * aspect
         wt = st.warper.warper_type
         corners, dsizes = plan_warp_rois(sizes, Ks, Rs, scale, wt)
-        th = _round_up(int(dsizes[:, 1].max()))
-        tw = _round_up(int(dsizes[:, 0].max()))
+        th = _round_up(int(dsizes[:, 1].max()), 64)
+        tw = _round_up(int(dsizes[:, 0].max()), 64)
 
         crop = plan.crop_rects is not None
         if crop:
@@ -487,8 +487,8 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
                 plan.lir_aspect)
             fin_corners = np.asarray(ccorn)
             fin_sizes = np.asarray(csz, np.int64)
-            ch = _round_up(max(r[3] for r in rects))
-            cw = _round_up(max(r[2] for r in rects))
+            ch = _round_up(max(r[3] for r in rects), 64)
+            cw = _round_up(max(r[2] for r in rects), 64)
             pad_h = max(0, max(r[1] for r in rects) + ch - th)
             pad_w = max(0, max(r[0] for r in rects) + cw - tw)
             pad_h = _round_up(pad_h) if pad_h else 0
