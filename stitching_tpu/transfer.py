@@ -166,10 +166,11 @@ class Uploader:
 
     def image(self, i):
         """Device uint8/float array of image i (blocks until it landed)."""
-        arr = self._slots[i].device_array()
+        slot = self._slots[i]
+        slot.event.wait()
         if self._error is not None:
             raise self._error
-        return arr
+        return slot.device_array()
 
     def __len__(self):
         return len(self._slots)
