@@ -275,10 +275,12 @@ def warp_stack_streamed(source, sizes, Ks, Rs, scale,
     tw = _round_up(int(dsizes[:, 0].max()), 64)
     tiles = []
     masks = []
+    chans = getattr(source, "channels", None)
     for i in range(n):
         raw = source.image(i)    # blocks until image i's upload lands
         tile, mask = warp_single(raw, sizes[i], Ks[i], Rs[i], corners[i],
-                                 dsizes[i], scale, warper_type, th, tw)
+                                 dsizes[i], scale, warper_type, th, tw,
+                                 channels=chans)
         tiles.append(tile)
         masks.append(mask)
     return TileStack(jnp.concatenate(tiles), jnp.concatenate(masks),
@@ -286,15 +288,21 @@ def warp_stack_streamed(source, sizes, Ks, Rs, scale,
 
 
 def warp_single(raw, size_wh, K, R, corner, dsize, scale, warper_type,
-                th, tw):
+                th, tw, channels=None):
     """Resize+warp ONE image: (1, th, tw, C) tile + (1, th, tw) mask.
 
     The B=1 instance of the `_warp_stack_kernel` program family — identical
-    numerics to the batched path."""
+    numerics to the batched path. `channels` (1 or 3) widens grayscale
+    inputs when the stitched output is color (mixed input sets), matching
+    `pipeline.stack_images` rules."""
     K64 = np.asarray(K, np.float64)
     R64 = np.asarray(R, np.float64)
     k_rinv = (K64 @ R64 if warper_type == "affine"
               else K64 @ np.linalg.inv(R64))
+    if raw.ndim == 2:            # grayscale input: channel axis
+        raw = raw[:, :, None]
+    if channels == 3 and raw.shape[-1] == 1:
+        raw = jnp.repeat(raw, 3, axis=2)
     w, h = int(size_wh[0]), int(size_wh[1])
     need_resize = (raw.shape[1], raw.shape[0]) != (w, h)
     oh, ow = _round_up(h, 64), _round_up(w, 64)

@@ -498,7 +498,7 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
             fin_corners, fin_sizes = np.asarray(corners), np.asarray(dsizes)
             fth, ftw = th, tw
 
-        C = 3
+        C = reg.uploader.channels
         gain_mode, gain_arrs = plan_gain_arrays(
             st.compensator, fin_sizes, n, C)
 
@@ -532,7 +532,7 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
                 raw = reg.uploader.image(i)  # paced by the bg upload
             tile, mask = warp_single(raw, sizes[i], Ks[i], Rs[i],
                                      corners[i], dsizes[i], scale, wt,
-                                     th, tw)
+                                     th, tw, channels=C)
             if crop:
                 xy = np.asarray([[rects[i][0], rects[i][1]]], np.int32)
                 tile, mask = _slice_stack_kernel(

@@ -175,6 +175,13 @@ class Uploader:
     def __len__(self):
         return len(self._slots)
 
+    @property
+    def channels(self):
+        """Channel count of the stitched output (1 for all-gray inputs,
+        matching `pipeline.stack_images` widening rules)."""
+        return 3 if any(len(s.shape) == 3 and s.shape[2] == 3
+                        for s in self._slots) else 1
+
     def subset(self, indices):
         """Keep only `indices` (registration subsetting)."""
         self._slots = [self._slots[i] for i in indices]

@@ -75,3 +75,23 @@ def test_no_confident_match_raises():
     b = rng.randint(0, 255, (300, 400, 3), np.uint8)
     with pytest.raises(StitchingError):
         AffineStitcher().stitch([a, b])
+
+
+def test_stitch_grayscale_inputs():
+    """2-D (grayscale) input arrays stitch to a 1-channel panorama through
+    BOTH engine paths (sync: inputs at MEDIUM size; async/streamed:
+    inputs above MEDIUM)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import rotation_set
+
+    from stitching_tpu import Stitcher
+
+    for size in ((512, 384), (1200, 900)):   # sync / async paths
+        imgs, K, Rs = rotation_set(n=3, size=size, focal=450.0,
+                                   max_angle=0.3)
+        gray = [im.mean(-1).astype("uint8") for im in imgs]
+        pano = Stitcher(crop=False).stitch(gray)
+        assert pano.ndim == 3 and pano.shape[-1] == 1, size
+        assert pano.shape[0] > 300 and pano.shape[1] > 600, size
