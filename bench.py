@@ -173,10 +173,33 @@ def main():
         pano = stitcher.stitch(imgs)
         return pano, time.time() - t0
 
+    def link_rates():
+        """Measured tunnel rates right now (MB/s up, down). The workload
+        moves ~57 MB up (46 MB originals + 7 MB gray-medium/low + small
+        tensors) and ~11 MB down; at the nominal ~35 MB/s that is a hard
+        ~1.9 s transfer floor on the wall clock — more than cv2's ENTIRE
+        native run on a fast-baseline day. vs_baseline therefore measures
+        the tunnel as much as the pipeline; on directly-attached TPU
+        hardware (GB/s DMA) the same pipeline's transfer floor is ~20 ms.
+        """
+        import jax.numpy as jnp
+        blob = np.random.randint(0, 255, (16_000_000,), np.uint8)
+        t0 = time.time()
+        d = jax.device_put(blob)
+        np.asarray(d.ravel()[0])
+        up = 16.0 / (time.time() - t0)
+        d2 = jnp.asarray(d) + 1
+        np.asarray(d2.ravel()[0])
+        t0 = time.time()
+        np.asarray(d2)
+        down = 16.0 / (time.time() - t0)
+        return round(up, 1), round(down, 1)
+
     # warmup (compilation) + timed runs (best of 3: the tunnel's transfer
     # rate swings ~2x on a timescale of minutes, so single runs are not
     # representative of the pipeline)
     pano, _ = run_once()
+    link_up, link_down = link_rates()
     prof.enable()
     prof.reset()
     dts = []
@@ -230,6 +253,12 @@ def main():
                 "opencv_mps": (None if ref_mps is None
                                else round(ref_mps, 3)),
                 "opencv_mps_runs": [round(r, 3) for r in ref_runs],
+                "link_up_mbs": link_up,
+                "link_down_mbs": link_down,
+                # uploads are serial on the critical path; the panorama
+                # download overlaps compute (duplex), so the floor is the
+                # up-bytes alone
+                "transfer_floor_s": round(57.0 / max(link_up, 0.1), 2),
                 "peak_host_rss_mb": round(
                     resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
                     / 1024),
