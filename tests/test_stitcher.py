@@ -95,3 +95,33 @@ def test_stitch_grayscale_inputs():
         pano = Stitcher(crop=False).stitch(gray)
         assert pano.ndim == 3 and pano.shape[-1] == 1, size
         assert pano.shape[0] > 300 and pano.shape[1] > 600, size
+
+
+def test_async_path_drops_noise_image():
+    """Subsetting drops a non-matching image on the ASYNC (streamed)
+    engine path too: the uploader and LOW stack re-index consistently
+    mid-stream."""
+    import sys
+    import warnings
+
+    import numpy as np
+
+    sys.path.insert(0, "tests")
+    from fixtures import rotation_set
+
+    from stitching_tpu import Stitcher
+    from stitching_tpu.errors import StitchingWarning
+
+    imgs, K, Rs = rotation_set(n=3, size=(1200, 900), focal=1000.0,
+                               max_angle=0.3)
+    noise = np.random.RandomState(5).randint(
+        0, 255, imgs[0].shape, np.uint8)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pano = Stitcher(crop=False).stitch(list(imgs) + [noise])
+    assert any(issubclass(w.category, StitchingWarning) for w in caught)
+    clean = Stitcher(crop=False).stitch(list(imgs))
+    # RANSAC seeds depend on the pair count, so registration differs by
+    # sub-pixel amounts between the 4- and 3-image runs; the geometry
+    # must still agree to a couple of pixels
+    np.testing.assert_allclose(pano.shape[:2], clean.shape[:2], atol=3)
