@@ -222,67 +222,3 @@ def solve_bundle(problem, variant, param_mask, params0,
     full = params0.copy()
     full[:, list(active_idx)] = x.reshape(params0.shape[0], -1)
     return full, float(cost)
-
-
-# ---- legacy closure-style API (kept for the sharded-LM demo path) ----
-
-def make_residual_fn(problem, variant, param_mask, params0):
-    """Build residual_fn(x_active) -> flat residual vector (closure form)."""
-    active_idx = tuple(int(i) for i in np.where(np.asarray(param_mask))[0])
-    arrs = (jnp.asarray(params0, jnp.float32),
-            jnp.asarray(problem["src_idx"]),
-            jnp.asarray(problem["dst_idx"]),
-            jnp.asarray(problem["pts_src"], jnp.float32),
-            jnp.asarray(problem["pts_dst"], jnp.float32),
-            jnp.asarray(problem["w"], jnp.float32))
-
-    def residual(x):
-        return _residual(x, *arrs, variant, active_idx)
-
-    return residual
-
-
-def lm_solve(residual_fn, x0, max_iters=60, verbose=False):
-    """Host-driven LM over an arbitrary residual closure (legacy path; the
-    production adjuster uses `solve_bundle`'s single-dispatch engine)."""
-
-    @jax.jit
-    def eval_r(x):
-        return residual_fn(x)
-
-    @jax.jit
-    def eval_rJ(x):
-        r = residual_fn(x)
-        J = jax.jacfwd(residual_fn)(x)
-        return r, J
-
-    x = jnp.asarray(x0, jnp.float32)
-    r, J = eval_rJ(x)
-    cost = float(jnp.sum(r * r))
-    lam = 1e-3
-    for _ in range(max_iters):
-        A = np.asarray(J.T @ J, np.float64)
-        g = np.asarray(J.T @ r, np.float64)
-        D = np.maximum(np.diag(A), 1e-12)
-        accepted = False
-        for _ in range(8):
-            try:
-                delta = np.linalg.solve(A + lam * np.diag(D), -g)
-            except np.linalg.LinAlgError:
-                lam *= 10
-                continue
-            x_new = x + jnp.asarray(delta, jnp.float32)
-            r_new = eval_r(x_new)
-            cost_new = float(jnp.sum(r_new * r_new))
-            if np.isfinite(cost_new) and cost_new < cost:
-                rel = (cost - cost_new) / max(cost, 1e-30)
-                x = x_new
-                cost = cost_new
-                lam = max(lam / 10, 1e-12)
-                accepted = True
-                break
-            lam *= 10
-        if not accepted or rel < 1e-10:
-            break
-        r, J = eval_rJ(x)
-    return np.asarray(x), cost
