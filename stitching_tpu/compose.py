@@ -1445,7 +1445,12 @@ class StreamComposite:
             if self._unfed:
                 frontier = min(p["offs"][j, 0] for j in self._unfed)
                 safe = ((int(frontier) - self._halo) // p["m"]) * p["m"]
-                if safe - self._emitted >= max(512, 2 * self._halo):
+                # emit only segments big enough to transfer efficiently:
+                # small fetch RPCs run far below the tunnel's bulk rate,
+                # so a sliver emitted early costs more than it overlaps
+                min_cols = max(512, 2 * self._halo,
+                               6_000_000 // max(p["dh"] * self.C, 1))
+                if safe - self._emitted >= min_cols:
                     self._emit_cols(safe)
 
     def finish(self, stream_fetch=False):
