@@ -100,8 +100,8 @@ def kernel_microbench(imgs):
         "traffic_gb": round(traffic / 1e9, 3),
         "achieved_gbs": round(traffic / 1e9 / t, 1),
         "frac_of_hbm_roofline": round(traffic / 1e9 / t / HBM_PEAK_GBS, 3),
-        "note": "includes the uint8 panorama device->host fetch "
-                "(~0.3 s on the tunneled link)",
+        "note": "compute only (device-resident result, scalar sync); "
+                "the panorama fetch overlaps compute in the pipeline",
     }
 
     # detection + matching at MEDIUM resolution (the registration shapes,
