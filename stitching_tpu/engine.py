@@ -521,10 +521,14 @@ def _composite_streamed(st, reg: Registration, plan: CompositionPlan):
             lo_dev = jnp.asarray(lo_h)
         fsz = np.asarray(fin_sizes, np.int32)
 
+        # frontier emission pays when device->host transfers are slow
+        # (tunneled/remote devices); on the CPU backend host==device and
+        # the extra band collapses are pure overhead
         stream = StreamComposite(fin_corners, fin_sizes,
                                  st.blender.blender_type,
                                  st.blender.blend_strength, fth, ftw, C,
-                                 frontier_fetch=True)
+                                 frontier_fetch=jax.default_backend()
+                                 != "cpu")
 
     with prof.stage_timer("final/stream"):
         for i in range(n):
