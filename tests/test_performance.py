@@ -78,8 +78,11 @@ def test_perf_and_memory_regression():
         pytest.skip(f"no recorded baseline for backend {backend}")
     base = baselines[backend]
     got = _run_workload(backend)
-    assert got["mps"] >= 0.8 * base["mps"], (
-        f"throughput regression: {got['mps']} MP/s < 0.8 * recorded "
+    # 0.7x: the 2-vCPU runner's wall clock swings ~20% with unrelated host
+    # load (observed when a TPU bench's fetch threads overlapped the
+    # suite); a change that halves throughput still fails by a wide margin
+    assert got["mps"] >= 0.7 * base["mps"], (
+        f"throughput regression: {got['mps']} MP/s < 0.7 * recorded "
         f"{base['mps']} MP/s ({base['workload']})")
     assert got["peak_rss_mb"] <= 1.25 * base["peak_rss_mb"], (
         f"memory regression: peak RSS {got['peak_rss_mb']} MB > 1.25 * "
