@@ -22,7 +22,6 @@ MST + propagation run on host (tiny N); all per-pair math is vectorized.
 
 from collections import OrderedDict
 
-import jax.numpy as jnp
 import numpy as np
 
 from .errors import StitchingError
@@ -111,11 +110,11 @@ class CameraEstimator:
                     Hs.append(m.H)
                     confs.append(m.confidence)
         if Hs:
+            # host numpy path (ops/autocalib backend-dual): a handful of
+            # 3x3s; the device path cost ~0.3 s/run of tunnel syncs (r4)
             focal, n_ok = estimate_focals(
-                jnp.asarray(np.stack(Hs), jnp.float32),
-                jnp.asarray(np.array(confs), jnp.float32))
-            focal = float(focal)
-            n_ok = int(n_ok)
+                np.stack(Hs).astype(np.float32),
+                np.asarray(confs, np.float32))
         else:
             focal, n_ok = np.nan, 0
         if not np.isfinite(focal) or n_ok == 0:

@@ -8,7 +8,6 @@ matmul), the cv.detail.waveCorrect analog.
 
 from collections import OrderedDict
 
-import jax.numpy as jnp
 import numpy as np
 
 from .errors import StitchingError
@@ -30,8 +29,9 @@ class WaveCorrector:
     def correct(self, cameras):
         if self.wave_correct_kind is None:
             return cameras
-        rmats = jnp.asarray(
-            np.stack([np.copy(cam.R) for cam in cameras]), jnp.float32)
+        # host numpy path: tiny-N 3x3 math must not pay device round-trips
+        rmats = np.stack([np.copy(cam.R) for cam in cameras]).astype(
+            np.float32)
         corrected = np.asarray(wave_correct(rmats, self.wave_correct_kind))
         for idx, cam in enumerate(cameras):
             cam.R = corrected[idx]

@@ -1045,10 +1045,16 @@ def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, lph, lpw,
 
     TH, TW = int(stack.data.shape[1]), int(stack.data.shape[2])
     C = stack.data.shape[-1]
-    host_tiles = np.asarray(stack.data)
-    host_seams = np.asarray(seam_masks)
-    sub_tiles = np.stack([host_tiles[ids] for ids in dev_locals])
-    sub_seams = np.stack([host_seams[ids] for ids in dev_locals])
+    # gather the unions ON DEVICE (a take along the batch axis + reshape):
+    # the tile stack is the largest tensor in the pipeline, and a
+    # device->host->device round trip of it on the critical path is the
+    # exact cost the rest of the engine schedules around; device_put below
+    # reshards the gathered result (ICI on real meshes, no host hop)
+    union_idx = jnp.asarray(np.stack(dev_locals).reshape(-1))
+    sub_tiles = jnp.take(stack.data, union_idx, axis=0).reshape(
+        D, max_u, TH, TW, C)
+    sub_seams = jnp.take(jnp.asarray(seam_masks), union_idx, axis=0
+                         ).reshape(D, max_u, TH, TW)
 
     # uniform per-strip tensors in PERMUTED slot order, with membership
     # indices remapped into the owning device's local subset
@@ -1120,8 +1126,9 @@ def _blend_strips_mesh(stack, seam_masks, kind, nb, wh, ww, lph, lpw,
         out_specs=(P(axis), P(axis)))
 
     def put(a):
-        a = np.asarray(a)
-        return jax.device_put(jnp.asarray(a), NamedSharding(
+        if not isinstance(a, jax.Array):
+            a = jnp.asarray(np.asarray(a))
+        return jax.device_put(a, NamedSharding(
             mesh, P(axis, *([None] * (a.ndim - 1)))))
 
     segs, wsegs = jax.jit(sharded)(

@@ -382,8 +382,14 @@ def plan_composition(st, reg: Registration) -> CompositionPlan:
 
 def _stream_fits_budget(st, reg, plan):
     """Stream only when the monolithic accumulators fit the blend budget;
-    beyond it the batched path's X-strip decomposition takes over."""
-    from .compose import _blend_budget_bytes, plan_warp_rois
+    beyond it the batched path's X-strip decomposition takes over.
+
+    The estimate mirrors `StreamComposite.__init__`'s actual allocations
+    (pyramid-aligned ph x pw from `_plan_blend`, true channel count) —
+    estimating from the unpadded canvas under-counted near the budget
+    boundary and could commit to over-budget accumulators."""
+    from .compose import (_blend_budget_bytes, _plan_blend, _round_up,
+                          plan_warp_rois)
 
     aspect = reg.images.get_ratio(Resolution.MEDIUM, Resolution.FINAL)
     Ks = [Warper.get_K(cam, aspect) for cam in reg.cameras]
@@ -392,11 +398,18 @@ def _stream_fits_budget(st, reg, plan):
              for s in reg.images.get_scaled_img_sizes(Resolution.FINAL)]
     corners, dsizes = plan_warp_rois(sizes, Ks, Rs, reg.scale * aspect,
                                      st.warper.warper_type)
-    x0 = corners[:, 0].min()
-    y0 = corners[:, 1].min()
-    dw = int((corners[:, 0] + dsizes[:, 0]).max() - x0)
-    dh = int((corners[:, 1] + dsizes[:, 1]).max() - y0)
-    acc_bytes = dh * dw * 4 * 4 * 8 // 3   # (C+1) ch * f32 * pyramid
+    # uncropped ROIs: equal to the streamed plan without crop, a slight
+    # over-estimate with crop (safe direction — falls back to strips)
+    th = _round_up(int(dsizes[:, 1].max()), 64)
+    tw = _round_up(int(dsizes[:, 0].max()), 64)
+    p = _plan_blend(corners, dsizes, len(dsizes), st.blender.blender_type,
+                    st.blender.blend_strength, th, tw)
+    C = reg.uploader.channels if reg.uploader is not None else 3
+    if p["kind"] == "multiband":
+        acc_bytes = sum((p["ph"] >> lv) * (p["pw"] >> lv) * (C + 1) * 4
+                        for lv in range(p["nb"] + 1))
+    else:
+        acc_bytes = p["ph"] * p["pw"] * (C + 1) * 4
     return acc_bytes <= _blend_budget_bytes()
 
 

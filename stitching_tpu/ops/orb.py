@@ -183,10 +183,11 @@ def _brief_descriptors_pyr(pyr_blur, lvls, xs, ys, angles, lws, lhs,
     return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("nfeatures", "with_mask", "variant"))
+@partial(jax.jit, static_argnames=("nfeatures", "with_mask", "variant",
+                                   "exact_topk"))
 def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
                nfeatures: int = 500, with_mask: bool = False,
-               variant: str = "orb"):
+               variant: str = "orb", exact_topk: bool = False):
     """Full ORB detection on an (H, W) float32 [0,255] image.
 
     Returns dict of arrays, each with leading dim `nfeatures`:
@@ -231,10 +232,15 @@ def detect_orb(gray: jax.Array, mask: jax.Array = None, *,
         # Static top-k: quota + headroom for the global fill pass.
         # approx_max_k is the TPU-native two-stage reduction (exact on
         # CPU); after 3x3 NMS the survivors are sparse, so the >=95%
-        # recall target only ever drops far-down-the-ranking candidates.
+        # recall target only ever drops far-down-the-ranking candidates
+        # (pinned by tests/test_detector.py::test_approx_topk_recall via
+        # the exact_topk A/B switch below).
         k_cap = min(2 * quotas[lvl] + 32, lh * lw)
-        top_scores, top_idx = jax.lax.approx_max_k(
-            score.reshape(-1), k_cap)
+        if exact_topk:
+            top_scores, top_idx = jax.lax.top_k(score.reshape(-1), k_cap)
+        else:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                score.reshape(-1), k_cap)
         ys = (top_idx // lw).astype(jnp.int32)
         xs = (top_idx % lw).astype(jnp.int32)
         ok = top_scores > neg_inf / 2

@@ -243,6 +243,70 @@ def _apply_keeps_kernel(masks, ii, jj, oxy_i, oxy_j, keep_i, keep_j, *,
     return masks[:, :TH, :TW]
 
 
+@partial(jax.jit, static_argnames=("chb", "cwb", "n"))
+def _coverage_fallback_kernel(orig, out, corners, *, chb, cwb, n):
+    """Restore ownership of orphaned canvas pixels.
+
+    The batched seam paths compute every pairwise cut from the ORIGINAL
+    warp masks and apply all keeps multiplicatively; in a >=3-image overlap
+    cyclic pairwise ownership (i loses to j, j to k, k to i) can strip a
+    covered pixel of ALL owners — a black hole the sequential host path
+    structurally cannot produce. Any pixel covered by an original mask but
+    owned by nobody after the cuts reassigns deterministically to its
+    lowest-index covering image.
+    """
+    TH, TW = orig.shape[1], orig.shape[2]
+    CH, CW = chb + TH, cwb + TW    # margin so scatters never clamp
+
+    def place(stack, i):
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros((CH, CW), jnp.float32),
+            (stack[i] > 0).astype(jnp.float32),
+            (corners[i, 1], corners[i, 0]))
+
+    owned = jax.lax.fori_loop(
+        0, n, lambda i, a: a + place(out, i),
+        jnp.zeros((CH, CW), jnp.float32))
+
+    def fold(k, first):
+        i = n - 1 - k              # downward: lowest index wins
+        cov = place(orig, i) > 0
+        return jnp.where(cov, i, first)
+
+    first = jax.lax.fori_loop(0, n, fold,
+                              jnp.full((CH, CW), -1, jnp.int32))
+    orphan = (owned == 0) & (first >= 0)
+
+    def gather(i):
+        o = jax.lax.dynamic_slice(orphan, (corners[i, 1], corners[i, 0]),
+                                  (TH, TW))
+        f = jax.lax.dynamic_slice(first, (corners[i, 1], corners[i, 0]),
+                                  (TH, TW))
+        return jnp.where(o & (f == i), jnp.float32(255), out[i])
+
+    return jax.vmap(gather)(jnp.arange(n))
+
+
+def ensure_coverage(orig_masks, out_masks, corners, sizes):
+    """Apply `_coverage_fallback_kernel` over a tile stack (device)."""
+    corners = np.asarray(corners)
+    sizes = np.asarray(sizes)
+    n = len(corners)
+    x0 = int(corners[:, 0].min())
+    y0 = int(corners[:, 1].min())
+    rel = (corners - [x0, y0]).astype(np.int32)
+    ch = int((corners[:, 1] + sizes[:, 1]).max() - y0)
+    cw = int((corners[:, 0] + sizes[:, 0]).max() - x0)
+    chb = -(-ch // 64) * 64
+    cwb = -(-cw // 64) * 64
+    fixed = _coverage_fallback_kernel(
+        orig_masks[:n], out_masks[:n], jnp.asarray(rel),
+        chb=chb, cwb=cwb, n=n)
+    if out_masks.shape[0] > n:
+        fixed = jnp.concatenate([fixed, out_masks[n:]], axis=0)
+    return fixed
+
+
 def plan_overlaps(corners, sizes):
     """Host pair plan: [(i, j, oxy_i, oxy_j, (ow, oh))] for overlapping
     rects. corners/sizes: (N, 2) int arrays (x, y) / (w, h)."""
@@ -292,6 +356,7 @@ def dp_seams_stack(data, masks, corners, sizes, use_grad):
             bh=bh, bw=bw, use_grad=use_grad, transpose=transpose)
         out = _apply_keeps_kernel(out, ii, jj, oi, oj, keep_i, keep_j,
                                   bh=bh, bw=bw)
+    out = ensure_coverage(masks, out, corners, sizes)
     return jnp.where(out > 0, jnp.float32(255), jnp.float32(0))
 
 
@@ -536,10 +601,12 @@ def gc_seams_stack(data, masks, corners, sizes, use_grad):
     """Batched graph-cut seams over a device tile stack.
 
     Like `dp_seams_stack`: every pair's cut computes from the ORIGINAL
-    warp masks in one vmapped dispatch per bucket group (the host path's
-    sequential pair-by-pair mask updates are an ordering detail the
-    panoramas do not depend on in practice), then all ownership cuts
-    apply in one scan. O(P) tunnel round-trips -> 2.
+    warp masks in one vmapped dispatch per bucket group, then all ownership
+    cuts apply in one scan. O(P) tunnel round-trips -> 2. Unlike the host
+    path's sequential pair-by-pair updates, parallel application can strand
+    a >=3-way-overlap pixel with no owner under cyclic pairwise ownership;
+    `ensure_coverage` restores such pixels to their lowest-index covering
+    image (deterministic, coverage-preserving).
     """
     pairs = plan_overlaps(np.asarray(corners), np.asarray(sizes))
     if not pairs:
@@ -555,4 +622,5 @@ def gc_seams_stack(data, masks, corners, sizes, use_grad):
         data, masks, ii, jj, oi, oj, wh, bh=bh, bw=bw, use_grad=use_grad)
     out = _apply_keeps_kernel(masks, ii, jj, oi, oj, keep_i, keep_j,
                               bh=bh, bw=bw)
+    out = ensure_coverage(masks, out, corners, sizes)
     return jnp.where(out > 0, jnp.float32(255), jnp.float32(0))

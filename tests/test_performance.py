@@ -7,8 +7,7 @@ vendored OpenCV sample on the same host and asserting peak memory <= sample
 the engine against ITS OWN recorded numbers (tests/perf_baseline.json,
 keyed by backend so CPU CI and TPU runs each compare like-for-like):
 
-- throughput >= 0.8x the recorded megapixels/s (a change that halves
-  throughput fails CI);
+- throughput >= THROUGHPUT_FACTOR x the recorded megapixels/s;
 - peak RSS <= 1.25x the recorded peak (a change that doubles memory fails).
 
 The workload runs in a SUBPROCESS so ru_maxrss reflects this pipeline run
@@ -29,6 +28,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
 _BASELINE = os.path.join(_HERE, "perf_baseline.json")
 
+# Best-of-5 sampling in the workload tames the 2-vCPU runner's ~20%
+# wall-clock swing under unrelated host load, which lets the gate sit at
+# 0.85x (r4 ran best-of-3 at 0.7x — loose enough to pass three quiet 10%
+# regressions in a row).
+THROUGHPUT_FACTOR = 0.85
+
 _WORKLOAD = """
 import os, sys, time, resource, json
 sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
@@ -44,7 +49,7 @@ from stitching_tpu import Stitcher
 imgs, K, Rs = rotation_set(n=6, size=(800, 600), focal=700.0, max_angle=0.5)
 pano = Stitcher(crop=False).stitch(imgs)   # warm (compile)
 best = 1e9
-for _ in range(3):
+for _ in range(5):
     t0 = time.time()
     pano = Stitcher(crop=False).stitch(imgs)
     best = min(best, time.time() - t0)
@@ -78,12 +83,9 @@ def test_perf_and_memory_regression():
         pytest.skip(f"no recorded baseline for backend {backend}")
     base = baselines[backend]
     got = _run_workload(backend)
-    # 0.7x: the 2-vCPU runner's wall clock swings ~20% with unrelated host
-    # load (observed when a TPU bench's fetch threads overlapped the
-    # suite); a change that halves throughput still fails by a wide margin
-    assert got["mps"] >= 0.7 * base["mps"], (
-        f"throughput regression: {got['mps']} MP/s < 0.7 * recorded "
-        f"{base['mps']} MP/s ({base['workload']})")
+    assert got["mps"] >= THROUGHPUT_FACTOR * base["mps"], (
+        f"throughput regression: {got['mps']} MP/s < {THROUGHPUT_FACTOR} * "
+        f"recorded {base['mps']} MP/s ({base['workload']})")
     assert got["peak_rss_mb"] <= 1.25 * base["peak_rss_mb"], (
         f"memory regression: peak RSS {got['peak_rss_mb']} MB > 1.25 * "
         f"recorded {base['peak_rss_mb']} MB ({base['workload']})")

@@ -262,3 +262,36 @@ def test_gc_stack_covers_multi():
     # exclusive (non-overlap) territory always stays owned
     assert (dev[0, :96, :96] > 0).all()
     assert (dev[2, :96, 96:192] > 0).all()
+
+
+def test_coverage_fallback_restores_orphans():
+    """ensure_coverage: a covered canvas pixel that lost every owner (the
+    cyclic >=3-overlap hazard of parallel keep application) reassigns to
+    its lowest-index covering image; owned pixels are untouched."""
+    import jax.numpy as jnp
+
+    from stitching_tpu.ops.seam import ensure_coverage
+
+    n, th, tw = 3, 64, 64
+    corners = np.array([(0, 0), (32, 0), (64, 0)])
+    sizes = np.array([(tw, th)] * n)
+    orig = np.zeros((n, th, tw), np.float32)
+    orig[:] = 255.0
+    out = orig.copy()
+    # orphan a patch covered by images 1 and 2 (canvas x 70..74 = tile-1
+    # x 38..42 = tile-2 x 6..10); image 0 does not cover it
+    out[1, 10:20, 38:43] = 0.0
+    out[2, 10:20, 6:11] = 0.0
+    # also a normally-owned pixel loses one owner only (no restore)
+    out[1, 30, 40] = 0.0
+
+    fixed = np.asarray(ensure_coverage(
+        jnp.asarray(orig), jnp.asarray(out), corners, sizes))
+    # orphaned patch restored to lowest covering index (image 1)
+    assert (fixed[1, 10:20, 38:43] > 0).all()
+    assert (fixed[2, 10:20, 6:11] == 0).all()
+    # still-owned pixel untouched
+    assert fixed[1, 30, 40] == 0
+    assert fixed[2, 30, 8] > 0  # same canvas pixel owned by img 2
+    # everything else unchanged
+    assert (fixed[0] == out[0]).all()
