@@ -42,6 +42,71 @@ def textured_scene(h=800, w=1200, seed=0):
     return img
 
 
+_NATURAL_CACHE = {}
+
+
+def natural_scene(h=1000, w=1800):
+    """A wide NATURAL-photograph scene assembled from offline package
+    assets (no network, reference fixtures unavailable): sklearn's two
+    sample photos (china temple, flower — rich texture, repetitive
+    structure, low-contrast sky) and matplotlib's grace_hopper portrait.
+    The reference's entire suite runs on 22 real photographs
+    (/root/reference/tests/__init__.py:1-33); this is the offline analog
+    that gives detector/matcher/seam stages real-image statistics."""
+    key = (h, w)
+    if key in _NATURAL_CACHE:
+        return _NATURAL_CACHE[key]
+    import os
+
+    import matplotlib
+    from sklearn.datasets import load_sample_images
+
+    china, flower = load_sample_images().images  # (427, 640, 3) RGB uint8
+    hopper_path = os.path.join(os.path.dirname(matplotlib.__file__),
+                               "mpl-data", "sample_data",
+                               "grace_hopper.jpg")
+    hopper = cv2.cvtColor(cv2.imread(hopper_path), cv2.COLOR_BGR2RGB)
+    hopper = cv2.resize(hopper, (640, 427))
+    row1 = np.concatenate([china, flower, china[:, ::-1]], axis=1)
+    row2 = np.concatenate([flower[:, ::-1], hopper, china], axis=1)
+    scene = np.concatenate([row1, row2], axis=0)   # (854, 1920, 3)
+    scene = cv2.resize(scene, (w, h), interpolation=cv2.INTER_AREA)
+    _NATURAL_CACHE[key] = scene
+    return scene
+
+
+def natural_rotation_set(n=4, size=(640, 480), focal=600.0, max_angle=0.5,
+                         tilt=0.0):
+    """`rotation_set` on the natural-photograph scene: n views from a
+    purely rotating camera with KNOWN (K, R) ground truth. Returns
+    (imgs, K, R_list)."""
+    assert cv2 is not None, "natural_rotation_set needs cv2 to render"
+    w, h = size
+    scene = natural_scene()
+    K_scene = np.array([[focal, 0, scene.shape[1] / 2],
+                        [0, focal, scene.shape[0] / 2],
+                        [0, 0, 1.0]])
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+
+    def rot_y(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rot_x(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    imgs, Rs = [], []
+    angles = np.linspace(-max_angle, max_angle, n)
+    for i, ang in enumerate(angles):
+        R = rot_y(ang) @ rot_x(tilt * ((i % 2) * 2 - 1))
+        Hv = K @ R.T @ np.linalg.inv(K_scene)
+        imgs.append(cv2.warpPerspective(scene, Hv, (w, h),
+                                        flags=cv2.INTER_LINEAR))
+        Rs.append(R)
+    return imgs, K, Rs
+
+
 def affine_set(n=3, seed=0, size=(640, 480)):
     """n overlapping translated crops. Returns (imgs, true_offsets)."""
     w, h = size

@@ -73,3 +73,35 @@ def test_brisk_akaze_real_algorithms():
         # the similarity model recovers the ground-truth translation
         np.testing.assert_allclose(
             [info.H[0, 2], info.H[1, 2]], [-dx_true, -dy_true], atol=1.5)
+
+
+@pytest.mark.slow
+def test_approx_topk_recall():
+    """ORB's per-level selection uses `lax.approx_max_k` (the TPU-native
+    two-stage reduction, ops/orb.py). This A/Bs it against exact
+    `lax.top_k` on bench-scene shapes and pins keypoint-set recall >= 95%.
+    On CPU approx_max_k is exact (recall 1.0); on the TPU backend the
+    recorded bench-scene measurement is 98.8-99.6% per image
+    (scripts/probe_orb_recall.py, 2026-08-21)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fixtures import rotation_set
+    from stitching_tpu.ops.orb import detect_orb
+
+    imgs, _, _ = rotation_set(n=2, size=(800, 600), focal=700.0,
+                              max_angle=0.2)
+    for im in imgs:
+        im16 = im.astype(np.uint16)
+        gray = ((29 * im16[..., 0] + 150 * im16[..., 1]
+                 + 77 * im16[..., 2] + 128) >> 8).astype(np.float32)
+        g = jnp.asarray(gray)
+        a = jax.device_get(detect_orb(g, nfeatures=500))
+        e = jax.device_get(detect_orb(g, nfeatures=500, exact_topk=True))
+        sa = {(int(x), int(y), int(s))
+              for (x, y), s, v in zip(a["xy"], a["size"], a["valid"]) if v}
+        se = {(int(x), int(y), int(s))
+              for (x, y), s, v in zip(e["xy"], e["size"], e["valid"]) if v}
+        assert len(se) > 0
+        recall = len(sa & se) / len(se)
+        assert recall >= 0.95, recall
