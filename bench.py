@@ -195,9 +195,10 @@ def main():
         down = 16.0 / (time.time() - t0)
         return round(up, 1), round(down, 1)
 
-    # warmup (compilation) + timed runs (best of 3: the tunnel's transfer
-    # rate swings ~2x on a timescale of minutes, so single runs are not
-    # representative of the pipeline)
+    # warmup (compilation) + timed runs. MEDIAN of 3 is the headline
+    # (same statistic as the cv2 baseline — the r4 bench used best-of-3
+    # for ours vs median for cv2, which flattered vs_baseline); min is
+    # recorded alongside as the link-noise floor.
     pano, _ = run_once()
     link_up, link_down = link_rates()
     prof.enable()
@@ -206,15 +207,73 @@ def main():
     for _ in range(3):
         pano, dt_i = run_once()
         dts.append(dt_i)
-    dt = min(dts)
+    dt = float(np.median(dts))
     mp = pano.shape[0] * pano.shape[1] / 1e6
     ours_mps = mp / dt
+    stages_async = prof.get_report()
+
+    # ONE fenced run: per-stage COMPUTE attribution (each stage blocks on
+    # its own results — wall is not representative, the table is)
+    prof.reset()
+    prof.enable_fence()
+    _, fenced_dt = run_once()
+    prof.enable_fence(False)
+    stages_fenced = prof.get_report()
+    stages_fenced["_fenced_wall_s"] = round(fenced_dt, 3)
+
+    # Device-resident benchmark: same workload, inputs pre-staged on
+    # device, panorama left on device (scalar-fenced). This is the
+    # tunnel-robust signal BASELINE.md's question actually needs — the
+    # end-to-end number above moves ~57 MB through a link whose rate
+    # swings 2-20x on a minutes timescale.
+    device_mps = None
+    device_runs = []
+    try:
+        from stitching_tpu import engine
+        from stitching_tpu.pipeline import stack_images
+        from stitching_tpu.transfer import _first_elem
+
+        stack = stack_images(imgs)
+        np.asarray(_first_elem(stack.data))   # staging complete
+        st_dev = Stitcher(crop=False)
+        pano_dev = st_dev.stitch_device(imgs, prestaged=stack)
+        np.asarray(_first_elem(pano_dev))     # warm (compile)
+        dmp = pano_dev.shape[0] * pano_dev.shape[1] / 1e6
+        for _ in range(3):
+            st_dev = Stitcher(crop=False)
+            t0 = time.time()
+            pano_dev = st_dev.stitch_device(imgs, prestaged=stack)
+            np.asarray(_first_elem(pano_dev))
+            device_runs.append(dmp / (time.time() - t0))
+        device_mps = float(np.median(device_runs))
+        del pano_dev, stack
+    except Exception as e:
+        device_mps = None
+        device_runs = [repr(e)]
 
     kernels = {}
     try:
         kernels = kernel_microbench(imgs)
     except Exception as e:  # never let the roofline probe kill the bench
         kernels = {"error": repr(e)}
+
+    # Natural-photograph variant (offline package photos; smaller set —
+    # a secondary signal that the pipeline's throughput holds on real
+    # image statistics, not just the synthetic box scene)
+    natural_mps = None
+    try:
+        from fixtures import natural_rotation_set
+
+        nat_imgs, _, _ = natural_rotation_set(n=6, size=(800, 600),
+                                              focal=700.0, max_angle=0.5)
+        st_n = Stitcher(crop=False)
+        p = st_n.stitch(nat_imgs)       # warm
+        t0 = time.time()
+        p = Stitcher(crop=False).stitch(nat_imgs)
+        natural_mps = round(p.shape[0] * p.shape[1] / 1e6
+                            / (time.time() - t0), 3)
+    except Exception:
+        natural_mps = None
 
     # OpenCV native baseline (the reference package's engine) on same
     # input. MEDIAN of 3 runs: the single-run baseline swings 0.9-2.5 MP/s
@@ -250,6 +309,23 @@ def main():
                 "ours_s": round(dt, 3),
                 "ours_s_runs": [round(t, 3) for t in dts],
                 "ours_mps": round(ours_mps, 3),
+                "ours_mps_best": round(mp / min(dts), 3),
+                "statistic": "ours median-of-3 (min alongside); "
+                             "cv2 median-of-3",
+                "device_mps": (None if device_mps is None
+                               else round(device_mps, 3)),
+                "device_mps_runs": [
+                    r if isinstance(r, str) else round(r, 3)
+                    for r in device_runs],
+                "device_vs_baseline": (
+                    None if device_mps is None or ref_mps is None
+                    else round(device_mps / ref_mps, 3)),
+                "device_semantics": (
+                    "inputs pre-staged on device, panorama left on "
+                    "device (scalar-fenced): the pipeline itself with "
+                    "no tunnel transfers — the tunnel-robust "
+                    "round-over-round signal"),
+                "natural_mps": natural_mps,
                 "opencv_mps": (None if ref_mps is None
                                else round(ref_mps, 3)),
                 "opencv_mps_runs": [round(r, 3) for r in ref_runs],
@@ -264,14 +340,17 @@ def main():
                     / 1024),
                 "peak_device_mem_mb": device_mem_mb(),
                 "kernels": kernels,
-                "stages": prof.get_report(),
+                "stages": stages_async,
+                "stages_fenced": stages_fenced,
                 "stage_semantics": (
-                    "async-dispatch host time per stage; device compute "
-                    "syncs where results are consumed (final/blend holds "
+                    "stages: async-dispatch host time (device compute "
+                    "syncs where results are consumed; final/blend holds "
                     "the FINAL-pass compute + fetch tail; "
                     "transfer/originals_stream is the background upload "
-                    "span). For per-stage compute attribution run with "
-                    "STITCHING_TPU_PROFILE_FENCE=1 (serializes stages)."),
+                    "span). stages_fenced: ONE serialized run, each "
+                    "stage blocked on its own results — per-stage "
+                    "compute attribution (its wall is not the headline)."
+                ),
             }, fh, indent=1)
     except OSError:
         pass

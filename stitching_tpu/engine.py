@@ -82,16 +82,21 @@ def _mesh_of(st):
     return getattr(st, "mesh", None)
 
 
-def register(st, images, feature_masks=()):
+def register(st, images, feature_masks=(), prestaged=None):
     """MEDIUM-resolution registration.
 
-    Two paths:
+    Three paths:
     - async (single chip, downscaled registration — the production shape):
       `_register_async` — ONE host sync for the whole registration, with
       the bulk ORIGINAL upload chunk-streamed in the background
       (`transfer.Uploader`).
     - sync (mesh/SPMD, or inputs already at MEDIUM size): stacked one-shot
       uploads with per-stage fetches.
+    - device-resident (`prestaged` = a DeviceStack of the originals): no
+      image uploads at all — the MEDIUM resize runs ON DEVICE from the
+      prestaged stack. This is the tunnel-robust benchmark mode
+      (bench.py device_mps) and the natural mode when inputs are already
+      device-resident (e.g. produced by an upstream device pipeline).
     """
     mesh = _mesh_of(st)
     images_obj = Images.of(
@@ -101,22 +106,26 @@ def register(st, images, feature_masks=()):
     med_sizes = images_obj.get_scaled_img_sizes(Resolution.MEDIUM)
     orig_sizes = [(im.shape[1], im.shape[0]) for im in originals]
     same = list(map(tuple, med_sizes)) == orig_sizes
-    if mesh is None and not same:
+    if prestaged is None and mesh is None and not same:
         return _register_async(st, images_obj, originals, med_sizes,
                                feature_masks)
     return _register_sync(st, images_obj, originals, med_sizes, same,
-                          feature_masks, mesh)
+                          feature_masks, mesh, prestaged=prestaged)
 
 
 def _register_sync(st, images_obj, originals, med_sizes, same,
-                   feature_masks, mesh):
+                   feature_masks, mesh, prestaged=None):
     """One-shot stacked uploads (mesh/SPMD path and tiny-input path)."""
     from .ops.resize import resize as _host_resize
 
     n = len(originals)
     with prof.stage_timer("registration/upload"):
         stack = None
-        if same:
+        if prestaged is not None:
+            stack = prestaged
+            medium = stack if same else resize_stack(
+                stack, _pad_sizes(med_sizes, stack.batch))
+        elif same:
             stack = stack_images(originals, mesh)
             medium = stack
         else:
@@ -413,7 +422,10 @@ def _stream_fits_budget(st, reg, plan):
     return acc_bytes <= _blend_budget_bytes()
 
 
-def composite(st, reg: Registration, plan: CompositionPlan):
+def composite(st, reg: Registration, plan: CompositionPlan, fetch=True):
+    """FINAL-resolution compositing. fetch=False returns the panorama as
+    a DEVICE uint8 array (device-resident mode — no download on the
+    critical path; callers fetch on demand via `compose.fetch_image`)."""
     if (reg.uploader is not None and not st.timelapser.do_timelapse
             and _mesh_of(st) is None and _stream_fits_budget(st, reg, plan)):
         return _composite_streamed(st, reg, plan)
@@ -454,8 +466,11 @@ def composite(st, reg: Registration, plan: CompositionPlan):
         # frontier-banded), returning a host array fetch_image passes through
         pano_dev, _ = blend_stack(fin, seams, st.blender.blender_type,
                                   st.blender.blend_strength, _mesh_of(st),
-                                  stream_fetch=_mesh_of(st) is None)
+                                  stream_fetch=fetch
+                                  and _mesh_of(st) is None)
         prof.fence(pano_dev)
+    if not fetch:
+        return pano_dev
     with prof.stage_timer("final/download"):
         pano = fetch_image(pano_dev)
     return pano
@@ -582,3 +597,21 @@ def run(st, images, feature_masks=()):
     reg = register(st, images, feature_masks)
     plan = plan_composition(st, reg)
     return composite(st, reg, plan)
+
+
+def run_device(st, images, feature_masks=(), prestaged=None):
+    """Device-resident pipeline: inputs pre-staged on device (or staged
+    once here), panorama returned as a DEVICE uint8 array — no image
+    transfers on the pipeline path. `prestaged`: a `pipeline.DeviceStack`
+    of the ORIGINAL-resolution images (padded batch allowed); when None,
+    the originals are staged with one upload first.
+
+    This is the tunnel-robust pipeline measurement mode (bench.py
+    `device_mps`) and the natural entry point when inputs already live on
+    device. Fetch the result on demand with `compose.fetch_image`."""
+    if prestaged is None:
+        imgs_list = [np.asarray(im) for im in images]
+        prestaged = stack_images(imgs_list, _mesh_of(st))
+    reg = register(st, images, feature_masks, prestaged=prestaged)
+    plan = plan_composition(st, reg)
+    return composite(st, reg, plan, fetch=False)

@@ -108,6 +108,15 @@ class Stitcher:
         """Stitch the image set into a panorama (or timelapse frames)."""
         return engine.run(self, images, feature_masks)
 
+    def stitch_device(self, images, feature_masks=[], prestaged=None):
+        """Device-resident stitch: the panorama stays ON DEVICE (uint8).
+
+        `prestaged` optionally supplies the originals as an already-staged
+        `pipeline.DeviceStack`, making the pipeline free of image
+        transfers end-to-end (the MEDIUM resize runs on device). Fetch
+        the result on demand with `compose.fetch_image`."""
+        return engine.run_device(self, images, feature_masks, prestaged)
+
     def stitch_verbose(self, images, feature_masks=[], verbose_dir=None):
         from .verbose import verbose_stitching
 

@@ -125,3 +125,26 @@ def test_async_path_drops_noise_image():
     # sub-pixel amounts between the 4- and 3-image runs; the geometry
     # must still agree to a couple of pixels
     np.testing.assert_allclose(pano.shape[:2], clean.shape[:2], atol=3)
+
+
+def test_stitch_device_matches_host_path():
+    """stitch_device: device-resident inputs/output, same panorama
+    geometry as the transfer-scheduled host path (content may differ by
+    interpolation rounding in the MEDIUM resize backend)."""
+    import numpy as np
+
+    from fixtures import rotation_set
+    from stitching_tpu import Stitcher
+    from stitching_tpu.compose import fetch_image
+    from stitching_tpu.pipeline import stack_images
+
+    imgs, K, Rs = rotation_set(n=3, size=(640, 480), focal=560.0,
+                               max_angle=0.3)
+    host_pano = Stitcher(crop=False).stitch(imgs)
+
+    stack = stack_images(imgs)
+    dev = Stitcher(crop=False).stitch_device(imgs, prestaged=stack)
+    assert not isinstance(dev, np.ndarray)   # stayed on device
+    dev_pano = fetch_image(dev)
+    assert dev_pano.dtype == np.uint8
+    np.testing.assert_allclose(dev_pano.shape, host_pano.shape, atol=4)
