@@ -3,7 +3,7 @@
 Builds a 6-tile, ~14.5k x 7.6k canvas compositing problem DIRECTLY at the
 compose layer (tiles synthesized on device — no host upload, isolating the
 compute/memory question), runs the full multiband blend, and records wall
-time + peak device memory into GIANT_r04.json.
+time + peak device memory into GIANT_r05.json.
 
 The reference's largest golden config is the boat fisheye panorama at
 (14488, 7556) (/root/reference/tests/test_stitcher.py:83-106); this drives
@@ -62,24 +62,34 @@ def main():
     del pano_dev
     pano = blend_stack(stack, stack.masks, "multiband", 5,
                        stream_fetch=True)[0]   # warm the streamed programs
-    dts = []
+
+    def probe_down_mbs():
+        probe = jnp.zeros((16_000_000,), jnp.uint8) + 1
+        np.asarray(probe[0])
+        t0 = time.time()
+        np.asarray(probe)
+        return round(16.0 / (time.time() - t0), 1)
+
+    # per-run: probe the link right BEFORE the run, so each wall number
+    # carries its own transfer floor (fetched bytes / link rate at that
+    # moment). wall/floor ~ 1 means the run was transfer-bound and the
+    # headline is measuring the tunnel, not the pipeline — the COMPUTE
+    # number above is the regression signal (r3->r4 fixed 11.7 s -> 0.6 s
+    # of compute; a record without floors would hide such a regression
+    # inside the fetch-bound wall).
+    mb = 14480 * 7556 * 3 / 1e6
+    dts, floors, rates = [], [], []
     for _ in range(2):
+        rate = probe_down_mbs()
         t0 = time.time()
         pano = blend_stack(stack, stack.masks, "multiband", 5,
                            stream_fetch=True)[0]
         assert isinstance(pano, np.ndarray)
         dts.append(time.time() - t0)
+        rates.append(rate)
+        floors.append(mb / max(rate, 0.1))
     dt = min(dts)
-
-    # measure the tunnel's idle download rate right now, so the wall number
-    # can be judged against the link the run actually had (the panorama is
-    # 328 MB of uint8; at the nominal ~35 MB/s the fetch fully overlaps the
-    # ~12 s compute, at degraded rates it cannot)
-    probe = jnp.zeros((16_000_000,), jnp.uint8) + 1
-    np.asarray(probe[0])
-    t0 = time.time()
-    np.asarray(probe)
-    down_mbs = round(16.0 / (time.time() - t0), 1)
+    down_mbs = probe_down_mbs()
 
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -95,6 +105,10 @@ def main():
         "blend_wall_runs_s": [round(t, 2) for t in dts],
         "blend_compute_s": round(dt_blend, 2),
         "fetched_mb": round(pano.nbytes / 1e6),
+        "fetch_floor_s_runs": [round(f, 2) for f in floors],
+        "wall_over_floor_runs": [round(t / max(f, 1e-9), 2)
+                                 for t, f in zip(dts, floors)],
+        "link_down_mbs_before_runs": rates,
         "link_down_mbs_after_run": down_mbs,
         "peak_device_mem_mb": peak_mb,
         "note": "6x (5120x4096) tiles, multiband nb from blend_width, "
@@ -102,7 +116,7 @@ def main():
                 "frontier-streamed blend (fetch overlapped with compute)",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "GIANT_r04.json"), "w") as fh:
+    with open(os.path.join(root, "GIANT_r05.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
 

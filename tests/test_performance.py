@@ -91,18 +91,90 @@ def test_perf_and_memory_regression():
         f"recorded {base['peak_rss_mb']} MB ({base['workload']})")
 
 
+# --- giant-canvas blend COMPUTE gate -------------------------------------
+# The giant-canvas headline wall (scripts/giant_bench.py) is fetch-bound
+# through the tunnel, so a pyramid-COMPUTE regression (the r3->r4 fix was
+# 11.7 s -> 0.6 s of compute) would be invisible in it. This gates the
+# compute directly on a scaled-down canvas: blend_stack with a device
+# result and one scalar sync, no panorama fetch.
+
+_GIANT_WORKLOAD = """
+import os, sys, time, json
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", os.environ.get("STPU_PERF_BACKEND",
+                                                  "cpu"))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join({repo!r}, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import jax.numpy as jnp
+import numpy as np
+from stitching_tpu.compose import TileStack, blend_stack
+
+th, tw = 1536, 1280
+corners = [(0, 0), (1100, 0), (0, 1400), (1100, 1400)]
+sizes = [(tw, th)] * 4
+key = jax.random.PRNGKey(0)
+data = jax.random.uniform(key, (4, th, tw, 3), jnp.float32) * 255
+masks = jnp.full((4, th, tw), 255.0, jnp.float32)
+stack = TileStack(data, masks, np.asarray(corners, np.int64),
+                  np.asarray(sizes, np.int64))
+pano, _ = blend_stack(stack, stack.masks, "multiband", 5)
+np.asarray(pano.ravel()[0])
+best = 1e9
+for _ in range(5):
+    t0 = time.time()
+    pano, _ = blend_stack(stack, stack.masks, "multiband", 5)
+    np.asarray(pano.ravel()[0])
+    best = min(best, time.time() - t0)
+mp = pano.shape[0] * pano.shape[1] / 1e6
+print("PERF_JSON " + json.dumps(dict(blend_mps=round(mp / best, 3))))
+"""
+
+
+def _run_giant(backend="cpu"):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = backend
+    env["STPU_PERF_BACKEND"] = backend
+    code = _GIANT_WORKLOAD.format(repo=_REPO)
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=_REPO,
+                         capture_output=True, text=True, timeout=1700)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("PERF_JSON ")][-1]
+    return json.loads(line[len("PERF_JSON "):])
+
+
+@pytest.mark.slow
+def test_giant_blend_compute_regression():
+    with open(_BASELINE) as fh:
+        baselines = json.load(fh)
+    key = "cpu_giant_blend"
+    if key not in baselines:
+        pytest.skip(f"no recorded baseline {key}")
+    base = baselines[key]
+    got = _run_giant("cpu")
+    assert got["blend_mps"] >= THROUGHPUT_FACTOR * base["blend_mps"], (
+        f"giant blend compute regression: {got['blend_mps']} MP/s < "
+        f"{THROUGHPUT_FACTOR} * recorded {base['blend_mps']} MP/s")
+
+
 if __name__ == "__main__":
     if "--record" in sys.argv:
         backend = "cpu"
         got = _run_workload(backend)
+        giant = _run_giant(backend)
         with open(_BASELINE) as fh:
             baselines = json.load(fh)
         baselines[backend] = dict(
             workload="6x 800x600 rotation set, defaults, crop=False",
             mps=got["mps"], peak_rss_mb=got["peak_rss_mb"])
+        baselines["cpu_giant_blend"] = dict(
+            workload="4x 1536x1280 tiles, multiband compute-only",
+            blend_mps=giant["blend_mps"])
         with open(_BASELINE, "w") as fh:
             json.dump(baselines, fh, indent=2)
             fh.write("\n")
-        print("recorded:", baselines[backend])
+        print("recorded:", baselines[backend], baselines["cpu_giant_blend"])
     else:
         print(__doc__)
