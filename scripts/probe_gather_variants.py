@@ -73,5 +73,58 @@ def main():
         print(f"{name}: {t*1e3:7.1f} ms  {bytes_/1e9/t:6.1f} GB/s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("ROWS_ONLY"):
     main()
+
+
+@partial(jax.jit, static_argnames=("sy", "sxc"))
+def row_gather(img, yg, xg, *, sy, sxc):
+    """Window gather as per-ROW (1, sxc) slice descriptors: nbt*sy
+    descriptors instead of nbt — the regime the TPU gather engine is
+    fast in (tiny-slice descriptor rate ~60-90M/s)."""
+    nbt = yg.shape[0]
+    rows = jnp.arange(sy, dtype=jnp.int32)[None, :]
+    yy = (yg[:, None] + rows).reshape(-1)          # (nbt*sy,)
+    xx = jnp.repeat(xg, sy)
+
+    def slc(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (1, sxc))[0]
+
+    return jax.vmap(slc)(yy, xx).reshape(nbt, sy, sxc)
+
+
+@partial(jax.jit, static_argnames=("sy", "sxc"))
+def row_take(img, yg, xg, *, sy, sxc):
+    """Row indices via jnp.take (whole rows) then per-row x dynamic slice
+    is not expressible; instead: one gather with start_index_map on both
+    dims but slice (1, sxc) via lax.gather directly."""
+    nbt = yg.shape[0]
+    rows = jnp.arange(sy, dtype=jnp.int32)[None, :]
+    yy = (yg[:, None] + rows).reshape(-1)
+    xx = jnp.repeat(xg, sy)
+    idx = jnp.stack([yy, xx], -1)                  # (nbt*sy, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1))
+    out = jax.lax.gather(img, idx, dn, (1, sxc),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(nbt, sy, sxc)
+
+
+def main2():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(ROWS, COLS).astype(np.float32))
+    yg_u = jnp.asarray(rng.randint(0, ROWS - 32, NBT), jnp.int32)
+    xg_u = jnp.asarray(rng.randint(0, COLS - 800, NBT), jnp.int32)
+    for name, fn, sy, sxc in [
+        ("row vslice (1,384) f32", row_gather, 24, 384),
+        ("row lax.gather (1,384) f32", row_take, 24, 384),
+        ("row vslice (1,512) f32", row_gather, 24, 512),
+    ]:
+        t = timed(fn, img, yg_u, xg_u, sy=sy, sxc=sxc)
+        bytes_ = NBT * sy * sxc * 4
+        print(f"{name}: {t*1e3:7.1f} ms  {bytes_/1e9/t:6.1f} GB/s")
+
+
+if __name__ == "__main__" and os.environ.get("ROWS_ONLY"):
+    main2()

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.warp import PROJECTORS, warp_roi
+from .ops.warp import PROJECTORS, PROJECTORS_NP, warp_roi
 
 _BUCKET = 128
 
@@ -103,9 +103,84 @@ def plan_warp_rois(sizes, Ks, Rs, scale, warper_type):
     return np.asarray(corners, np.int64), np.asarray(out_sizes, np.int64)
 
 
-@partial(jax.jit, static_argnames=("th", "tw", "warper_type"))
+def _fast_warp_ok(src_sizes, k_rinv, tls, inv_scale, warper_type, th, tw,
+                  data_shape, n):
+    """Host check: may this warp use the block-window fast path?
+
+    Corner-samples the backward map at block corners in numpy (a few
+    thousand points — microseconds) and verifies every block's CARE-pixel
+    footprint fits the (SY, SX) window budgets of
+    `ops/pallas/block_warp.block_sample`. Blocks whose corners are all
+    outside the care region are don't-care (their pixels are mask-0).
+    """
+    from .ops.pallas.block_warp import (GX, GY, SPAN_X_BUDGET,
+                                        SPAN_Y_BUDGET, SX, SY)
+
+    B, H, W = data_shape[0], data_shape[1], data_shape[2]
+    if th % GY or tw % GX or H < SY or W < SX:
+        return False
+    # fast-path working set (windows + weights); beyond ~1.5 GB the
+    # giant-tile shapes fall back to the quad path (which has its own
+    # lax.map memory guard)
+    if B * th * tw * 48 > 1_500_000_000:
+        return False
+    ys = np.arange(0, th + 1, GY, dtype=np.float64)
+    xs = np.arange(0, tw + 1, GX, dtype=np.float64)
+    for i in range(n):
+        w, h = int(src_sizes[i][0]), int(src_sizes[i][1])
+        if w < 2 or h < 2:
+            continue
+        u = (float(tls[i][0]) + xs[None, :]) * inv_scale
+        v = (float(tls[i][1]) + ys[:, None]) * inv_scale
+        if warper_type == "affine":
+            x = u + 0.0 * v
+            y = v + 0.0 * u
+            z = np.ones_like(x)
+        else:
+            _, bwd = PROJECTORS_NP[warper_type]
+            x, y, z = bwd(u, v)
+        kri = np.asarray(k_rinv[i], np.float64)
+        q0 = kri[0, 0] * x + kri[0, 1] * y + kri[0, 2] * z
+        q1 = kri[1, 0] * x + kri[1, 1] * y + kri[1, 2] * z
+        q2 = kri[2, 0] * x + kri[2, 1] * y + kri[2, 2] * z
+        valid = q2 > 1e-9
+        q2s = np.where(np.abs(q2) < 1e-12, 1e-12, q2)
+        sx = q0 / q2s
+        sy = q1 / q2s
+        care = (valid & (sx >= -1) & (sx <= w) & (sy >= -1) & (sy <= h))
+        sxc = np.clip(sx, 0.0, w - 1.0)
+        syc = np.clip(sy, 0.0, h - 1.0)
+        for arr, budget in ((sxc, SPAN_X_BUDGET), (syc, SPAN_Y_BUDGET)):
+            c4 = np.stack([arr[:-1, :-1], arr[:-1, 1:],
+                           arr[1:, :-1], arr[1:, 1:]])
+            k4 = np.stack([care[:-1, :-1], care[:-1, 1:],
+                           care[1:, :-1], care[1:, 1:]])
+            hi = np.where(k4, c4, -np.inf).max(axis=0)
+            lo = np.where(k4, c4, np.inf).min(axis=0)
+            span = hi - lo
+            if np.any(span[np.isfinite(span)] > budget):
+                return False
+    return True
+
+
+def _use_fast_warp(data, src_sizes, k_rinv, tls, inv_scale, warper_type,
+                   th, tw, n):
+    from .ops.pallas import use_pallas
+
+    if not use_pallas():
+        return False
+    try:
+        if len(data.sharding.device_set) != 1:
+            return False   # mesh-sharded stacks keep the quad path
+    except Exception:
+        pass
+    return _fast_warp_ok(src_sizes, k_rinv, tls, inv_scale, warper_type,
+                         th, tw, data.shape, n)
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "warper_type", "fast"))
 def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
-                       *, th, tw, warper_type):
+                       *, th, tw, warper_type, fast=False):
     """Warp every image of the padded stack onto the surface.
 
     data: (B, H, W, C); src_sizes/dst_sizes: (B, 2) int32 (w, h);
@@ -129,18 +204,8 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
     H, W = data.shape[1], data.shape[2]
     C = data.shape[-1]
 
-    def make_quad(img):
-        # quad image (H, W, 4C): each pixel's 2x2 neighborhood packed on
-        # the channel axis (rows/cols shift by one with edge clamp)
-        right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-        down = jnp.concatenate([img[1:], img[-1:]], axis=0)
-        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-        return jnp.concatenate([img, right, down, downright], axis=-1)
-
-    def one(img, ssz, kri, tl, dsz):
-        q = make_quad(img)
-        w = ssz[0].astype(jnp.float32)
-        h = ssz[1].astype(jnp.float32)
+    def bwd_coords(ssz, kri, tl):
+        """Backward map over the dst grid: (sx, sy, valid, cols, rows)."""
         cols = jnp.arange(tw, dtype=jnp.float32)[None, :]
         rows = jnp.arange(th, dtype=jnp.float32)[:, None]
         u = (tl[0] + cols) * inv_scale + jnp.zeros((th, 1), jnp.float32)
@@ -155,8 +220,54 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
         q2 = kri[2, 0] * x + kri[2, 1] * y + kri[2, 2] * z
         valid = q2 > 0
         q2s = jnp.where(jnp.abs(q2) < 1e-12, 1e-12, q2)
-        sx = q0 / q2s
-        sy = q1 / q2s
+        return q0 / q2s, q1 / q2s, valid, cols, rows
+
+    def mask_of(sx, sy, valid, cols, rows, ssz, dsz):
+        w = ssz[0].astype(jnp.float32)
+        h = ssz[1].astype(jnp.float32)
+        xi = jnp.round(sx)
+        yi = jnp.round(sy)
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1) & valid
+        inroi = ((cols < dsz[0].astype(jnp.float32))
+                 & (rows < dsz[1].astype(jnp.float32)))
+        mask = jnp.where(inb & inroi, jnp.float32(255), jnp.float32(0))
+        return mask, inroi
+
+    if fast:
+        # block-window fast path (ops/pallas/block_warp): host-checked
+        # window budgets; same backward map and masking as the quad path
+        from .ops.pallas.block_warp import block_sample
+
+        def coords_one(ssz, kri, tl, dsz):
+            sx, sy, valid, cols, rows = bwd_coords(ssz, kri, tl)
+            w = ssz[0].astype(jnp.float32)
+            h = ssz[1].astype(jnp.float32)
+            sxc = jnp.clip(sx, 0.0, w - 1.0)
+            syc = jnp.clip(sy, 0.0, h - 1.0)
+            care = (valid & (sx >= -1) & (sx <= w) & (sy >= -1)
+                    & (sy <= h))
+            mask, inroi = mask_of(sx, sy, valid, cols, rows, ssz, dsz)
+            return sxc, syc, care, mask, valid & inroi
+
+        sxc, syc, care, mask, keep = jax.vmap(coords_one)(
+            src_sizes, k_rinv, tls.astype(jnp.float32), dst_sizes)
+        out = block_sample(data, sxc, syc, care)
+        out = jnp.where(keep[..., None], out, 0.0)
+        return out, mask
+
+    def make_quad(img):
+        # quad image (H, W, 4C): each pixel's 2x2 neighborhood packed on
+        # the channel axis (rows/cols shift by one with edge clamp)
+        right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+        return jnp.concatenate([img, right, down, downright], axis=-1)
+
+    def one(img, ssz, kri, tl, dsz):
+        q = make_quad(img)
+        w = ssz[0].astype(jnp.float32)
+        h = ssz[1].astype(jnp.float32)
+        sx, sy, valid, cols, rows = bwd_coords(ssz, kri, tl)
 
         sxc = jnp.clip(sx, 0.0, w - 1.0)
         syc = jnp.clip(sy, 0.0, h - 1.0)
@@ -172,12 +283,7 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
         out = top * (1 - fy) + bot * fy
         out = jnp.where(valid[..., None], out, 0.0)
 
-        xi = jnp.round(sx)
-        yi = jnp.round(sy)
-        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1) & valid
-        inroi = ((cols < dsz[0].astype(jnp.float32))
-                 & (rows < dsz[1].astype(jnp.float32)))
-        mask = jnp.where(inb & inroi, jnp.float32(255), jnp.float32(0))
+        mask, inroi = mask_of(sx, sy, valid, cols, rows, ssz, dsz)
         out = jnp.where(inroi[..., None], out, 0.0)
         return out, mask
 
@@ -216,10 +322,12 @@ def warp_stack(data, src_sizes, Ks, Rs, scale, warper_type) -> TileStack:
     dsz = np.zeros((b, 2), np.int32)
     dsz[:n] = dsizes
     ssz = np.asarray(src_sizes, np.int32)
+    fast = _use_fast_warp(data, ssz, k_rinv, tls, 1.0 / scale,
+                          warper_type, th, tw, n)
     tiles, masks = _warp_stack_kernel(
         data, jnp.asarray(ssz), jnp.asarray(k_rinv), jnp.asarray(tls),
         jnp.asarray(dsz), jnp.float32(1.0 / scale),
-        th=th, tw=tw, warper_type=warper_type)
+        th=th, tw=tw, warper_type=warper_type, fast=fast)
     return TileStack(tiles, masks, np.asarray(corners[:n]),
                      np.asarray(dsizes[:n]))
 
@@ -273,14 +381,31 @@ def warp_stack_streamed(source, sizes, Ks, Rs, scale,
     corners, dsizes = plan_warp_rois(sizes, Ks, Rs, scale, warper_type)
     th = _round_up(int(dsizes[:, 1].max()), 64)
     tw = _round_up(int(dsizes[:, 0].max()), 64)
+    # one fast/quad decision for the WHOLE set (same rule as the batched
+    # warp_stack on the same host inputs), so the per-image dispatches
+    # stay the B=1 instances of the same program family
+    chans = getattr(source, "channels", None)
+    kriv = np.zeros((n, 3, 3), np.float32)
+    for i in range(n):
+        K64 = np.asarray(Ks[i], np.float64)
+        R64 = np.asarray(Rs[i], np.float64)
+        kriv[i] = (K64 @ R64 if warper_type == "affine"
+                   else K64 @ np.linalg.inv(R64))
+    # min per-image padded source dims (warp_single pads each image to
+    # its own 64-bucket; the window budgets must hold for the smallest)
+    oh = _round_up(min(s[1] for s in sizes), 64)
+    ow = _round_up(min(s[0] for s in sizes), 64)
+    from .ops.pallas import use_pallas
+    fast = (use_pallas() and _fast_warp_ok(
+        np.asarray(sizes, np.int32), kriv, corners, 1.0 / scale,
+        warper_type, th, tw, (1, oh, ow), n))
     tiles = []
     masks = []
-    chans = getattr(source, "channels", None)
     for i in range(n):
         raw = source.image(i)    # blocks until image i's upload lands
         tile, mask = warp_single(raw, sizes[i], Ks[i], Rs[i], corners[i],
                                  dsizes[i], scale, warper_type, th, tw,
-                                 channels=chans)
+                                 channels=chans, fast=fast)
         tiles.append(tile)
         masks.append(mask)
     return TileStack(jnp.concatenate(tiles), jnp.concatenate(masks),
@@ -288,13 +413,15 @@ def warp_stack_streamed(source, sizes, Ks, Rs, scale,
 
 
 def warp_single(raw, size_wh, K, R, corner, dsize, scale, warper_type,
-                th, tw, channels=None):
+                th, tw, channels=None, fast=False):
     """Resize+warp ONE image: (1, th, tw, C) tile + (1, th, tw) mask.
 
     The B=1 instance of the `_warp_stack_kernel` program family — identical
     numerics to the batched path. `channels` (1 or 3) widens grayscale
     inputs when the stitched output is color (mixed input sets), matching
-    `pipeline.stack_images` rules."""
+    `pipeline.stack_images` rules. `fast` selects the block-window path;
+    the caller decides it ONCE for the whole image set
+    (`warp_stack_streamed`) so streamed results stay consistent."""
     K64 = np.asarray(K, np.float64)
     R64 = np.asarray(R, np.float64)
     k_rinv = (K64 @ R64 if warper_type == "affine"
@@ -315,7 +442,8 @@ def warp_single(raw, size_wh, K, R, corner, dsize, scale, warper_type,
         jnp.asarray(k_rinv, np.float32)[None],
         jnp.asarray(np.asarray(corner), np.float32)[None],
         jnp.asarray(np.asarray(dsize), np.int32)[None],
-        jnp.float32(1.0 / scale), th=th, tw=tw, warper_type=warper_type)
+        jnp.float32(1.0 / scale), th=th, tw=tw, warper_type=warper_type,
+        fast=fast)
 
 
 # ---------------------------------------------------------------------------
