@@ -163,6 +163,30 @@ def _fast_warp_ok(src_sizes, k_rinv, tls, inv_scale, warper_type, th, tw,
     return True
 
 
+def _fast_warp_mode(src_sizes, k_rinv, tls, inv_scale, warper_type,
+                    th, tw, data_shape, n):
+    """Pick the warp implementation: False (quad) | 'gather' | 'dma'.
+
+    'dma' (in-kernel DMA windows, the fastest) needs the padded source
+    wide/tall enough for its quantized (32, 256) windows; 'gather' (XLA
+    window gather) covers smaller images. STITCHING_TPU_WARP_MODE
+    overrides for A/B benchmarking."""
+    forced = os.environ.get("STITCHING_TPU_WARP_MODE")
+    if forced == "quad":
+        return False
+    if not _fast_warp_ok(src_sizes, k_rinv, tls, inv_scale, warper_type,
+                         th, tw, data_shape, n):
+        return False
+    from .ops.pallas.block_warp import SX2, SY2
+
+    H, W = data_shape[1], data_shape[2]
+    if forced in ("gather", "dma"):
+        return forced
+    # dma pads W up to the next 128 multiple itself; require enough
+    # width that the padded extent fits the (SY2, SX2) windows
+    return "dma" if (W >= SX2 - 64 and H >= SY2) else "gather"
+
+
 def _use_fast_warp(data, src_sizes, k_rinv, tls, inv_scale, warper_type,
                    th, tw, n):
     from .ops.pallas import use_pallas
@@ -174,8 +198,8 @@ def _use_fast_warp(data, src_sizes, k_rinv, tls, inv_scale, warper_type,
             return False   # mesh-sharded stacks keep the quad path
     except Exception:
         pass
-    return _fast_warp_ok(src_sizes, k_rinv, tls, inv_scale, warper_type,
-                         th, tw, data.shape, n)
+    return _fast_warp_mode(src_sizes, k_rinv, tls, inv_scale, warper_type,
+                           th, tw, data.shape, n)
 
 
 @partial(jax.jit, static_argnames=("th", "tw", "warper_type", "fast"))
@@ -236,7 +260,7 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
     if fast:
         # block-window fast path (ops/pallas/block_warp): host-checked
         # window budgets; same backward map and masking as the quad path
-        from .ops.pallas.block_warp import block_sample
+        from .ops.pallas.block_warp import block_sample, block_sample_dma
 
         def coords_one(ssz, kri, tl, dsz):
             sx, sy, valid, cols, rows = bwd_coords(ssz, kri, tl)
@@ -251,7 +275,8 @@ def _warp_stack_kernel(data, src_sizes, k_rinv, tls, dst_sizes, inv_scale,
 
         sxc, syc, care, mask, keep = jax.vmap(coords_one)(
             src_sizes, k_rinv, tls.astype(jnp.float32), dst_sizes)
-        out = block_sample(data, sxc, syc, care)
+        sample = block_sample_dma if fast == "dma" else block_sample
+        out = sample(data, sxc, syc, care)
         out = jnp.where(keep[..., None], out, 0.0)
         return out, mask
 
@@ -396,9 +421,9 @@ def warp_stack_streamed(source, sizes, Ks, Rs, scale,
     oh = _round_up(min(s[1] for s in sizes), 64)
     ow = _round_up(min(s[0] for s in sizes), 64)
     from .ops.pallas import use_pallas
-    fast = (use_pallas() and _fast_warp_ok(
+    fast = use_pallas() and _fast_warp_mode(
         np.asarray(sizes, np.int32), kriv, corners, 1.0 / scale,
-        warper_type, th, tw, (1, oh, ow), n))
+        warper_type, th, tw, (1, oh, ow), n)
     tiles = []
     masks = []
     for i in range(n):
