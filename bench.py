@@ -84,9 +84,11 @@ def kernel_microbench(imgs):
         "traffic_gb": round(traffic / 1e9, 3),
         "achieved_gbs": round(traffic / 1e9 / t, 1),
         "frac_of_hbm_roofline": round(traffic / 1e9 / t / HBM_PEAK_GBS, 3),
-        "note": "descriptor-rate bound: 1 gather descriptor/px "
-                "(quad-image packing); XLA gather sustains ~60-90M "
-                "descriptors/s on v5e, the true ceiling here",
+        "note": "block-window path (ops/pallas/block_warp): one in-"
+                "kernel DMA window per (8,32) block + one-hot MXU "
+                "bilinear in VMEM; was 442 ms on the per-pixel "
+                "quad-gather formulation (r4) — TPU gathers are "
+                "issue-rate bound, see probe_gather_variants.py",
     }
 
     # multiband blend: windows + pyramids + accumulate + collapse
