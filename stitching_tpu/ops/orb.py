@@ -145,28 +145,64 @@ def _level_quotas(nfeatures: int, n_levels: int):
     return quotas
 
 
+# per-keypoint window radius: BRIEF pattern offsets are clipped to
+# |p| <= 13, so a rotated sample stays within ceil(13*sqrt(2)) = 19 of
+# the keypoint; windows of (2R+2)^2 also cover the 31x31 orientation
+# patch. BORDER (21) keeps every window inside its own pyramid level.
+_WIN_R = 19
+_WIN = 2 * _WIN_R + 2      # 40
+
+
+def _kp_windows(stack, lvls, xs, ys):
+    """One (40, 40) window per keypoint from the (L, H, W) level stack.
+
+    TPU gathers are issue-rate bound (~2.2 us per window slice vs ~30M
+    tiny per-element descriptors/s — scripts/probe_gather_variants.py);
+    the old per-element patch gathers were ~100 ms of the detect kernel
+    on the bench shapes, one window per keypoint is ~10 ms.
+    """
+    L, H, W = stack.shape
+    flat = stack.reshape(L * H, W)
+    yg = lvls * H + ys - _WIN_R
+    xg = xs - _WIN_R
+
+    def slc(yy, xx):
+        return jax.lax.dynamic_slice(flat, (yy, xx), (_WIN, _WIN))
+
+    return jax.vmap(slc)(yg, xg)                   # (N, 40, 40)
+
+
 def _orientation_pyr(pyr, lvls, xs, ys, lws, lhs):
     """Intensity-centroid angle sampled from the stacked pyramid.
 
     pyr: (L, H, W) padded level stack; lvls/xs/ys: (N,) int32 per-keypoint
-    level + level-local coords; lws/lhs: (L,) level extents for clamping.
+    level + level-local coords. BORDER guarantees the 31x31 patch never
+    crosses a level edge, so the moment weights are a STATIC functional
+    of the keypoint window (exact, VPU elementwise — no gather per tap).
     """
-    d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")  # (31, 31)
-    w_kp = lws[lvls][:, None, None].astype(jnp.int32)
-    h_kp = lhs[lvls][:, None, None].astype(jnp.int32)
-    yy = jnp.clip(ys[:, None, None] + dy[None], 0, h_kp - 1)
-    xx = jnp.clip(xs[:, None, None] + dx[None], 0, w_kp - 1)
-    patches = pyr[lvls[:, None, None], yy, xx] * jnp.asarray(CIRC_MASK)[None]
-    m10 = jnp.sum(patches * dx[None], axis=(1, 2))
-    m01 = jnp.sum(patches * dy[None], axis=(1, 2))
+    win = _kp_windows(pyr, lvls, xs, ys)
+    d = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+    dy, dx = np.meshgrid(d, d, indexing="ij")
+    o = _WIN_R - HALF_PATCH                        # patch offset in window
+    wx = np.zeros((_WIN, _WIN), np.float32)
+    wy = np.zeros((_WIN, _WIN), np.float32)
+    wx[o:o + PATCH_SIZE, o:o + PATCH_SIZE] = dx * CIRC_MASK
+    wy[o:o + PATCH_SIZE, o:o + PATCH_SIZE] = dy * CIRC_MASK
+    m10 = jnp.sum(win * jnp.asarray(wx)[None], axis=(1, 2))
+    m01 = jnp.sum(win * jnp.asarray(wy)[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
 def _brief_descriptors_pyr(pyr_blur, lvls, xs, ys, angles, lws, lhs,
                            pattern=BRIEF_PATTERN):
     """Steered BRIEF bits from the stacked blurred pyramid:
-    (N, n_bits) float32 of {0, 1}."""
+    (N, n_bits) float32 of {0, 1}.
+
+    Samples live at integer offsets within each keypoint's (40, 40)
+    window, so sampling is a row-select one-hot matmul + a column-select
+    masked reduce over the window (Precision.HIGHEST keeps the selected
+    values exact — bits match the old per-element gather formulation)."""
+    win = _kp_windows(pyr_blur, lvls, xs, ys)      # (N, 40, 40)
     pat = jnp.asarray(pattern, jnp.float32)  # (n_bits, 2, 2) (bit, pt, xy)
     cos, sin = jnp.cos(angles), jnp.sin(angles)    # (N,)
     px, py = pat[..., 0], pat[..., 1]              # (256, 2)
@@ -175,12 +211,18 @@ def _brief_descriptors_pyr(pyr_blur, lvls, xs, ys, angles, lws, lhs,
                    - py[None] * sin[:, None, None])
     ry = jnp.round(px[None] * sin[:, None, None]
                    + py[None] * cos[:, None, None])
-    w_kp = lws[lvls][:, None, None].astype(jnp.int32)
-    h_kp = lhs[lvls][:, None, None].astype(jnp.int32)
-    sx = jnp.clip(xs[:, None, None] + rx.astype(jnp.int32), 0, w_kp - 1)
-    sy = jnp.clip(ys[:, None, None] + ry.astype(jnp.int32), 0, h_kp - 1)
-    vals = pyr_blur[lvls[:, None, None], sy, sx]  # (N, 256, 2)
-    return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
+    ri = jnp.clip(ry.astype(jnp.int32) + _WIN_R, 0, _WIN - 1)  # (N,256,2)
+    ci = jnp.clip(rx.astype(jnp.int32) + _WIN_R, 0, _WIN - 1)
+    rows = jnp.arange(_WIN, dtype=jnp.int32)
+
+    def sample_pt(pt):
+        rowsel = (ri[..., pt, None] == rows).astype(jnp.float32)
+        t = jnp.einsum("nsr,nrc->nsc", rowsel, win,
+                       precision=jax.lax.Precision.HIGHEST)
+        colsel = ci[..., pt, None] == rows
+        return jnp.sum(jnp.where(colsel, t, 0.0), axis=-1)   # (N, 256)
+
+    return (sample_pt(0) < sample_pt(1)).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("nfeatures", "with_mask", "variant",
