@@ -16,7 +16,7 @@ Two views are reported per phase:
   load-balance + replication overhead: on real chips (where each device
   has its own compute) it is the ceiling for the achievable scaling.
 
-Writes SCALING_r04.json at the repo root. Run:
+Writes SCALING_r05.json at the repo root. Run:
     python scripts/scaling_bench.py
 """
 
@@ -173,7 +173,7 @@ def main():
                 if rn.get("detect_flops_per_device") else None),
         },
     }
-    path = os.path.join(REPO, "SCALING_r04.json")
+    path = os.path.join(REPO, "SCALING_r05.json")
     with open(path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
