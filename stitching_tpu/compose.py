@@ -990,15 +990,30 @@ def _flatten_minor(img):
     return img.reshape(-1)
 
 
+# sustained fetch rate peaks around this RPC size on the tunneled link
+# (measured: 16 MB chunks 35.8 MB/s vs one 320 MB RPC 28.2 MB/s and
+# 32 MB chunks 19.7 MB/s); irrelevant on directly-attached devices
+_FETCH_CHUNK = 16_000_000
+
+
 def fetch_image(img):
     """Device->host transfer of an (H, W, C) image via the flattened
-    layout (measurably faster over high-latency links). Host arrays
-    (already stream-fetched strip blends) pass through."""
+    layout (measurably faster over high-latency links), chunked at the
+    link's sweet-spot RPC size for large images. Host arrays (already
+    stream-fetched strip blends) pass through."""
     if isinstance(img, np.ndarray):
         return img
     shape = img.shape
-    flat = np.asarray(_flatten_minor(img))
-    return flat.reshape(shape)
+    flat = _flatten_minor(img)
+    n = flat.shape[0] * flat.dtype.itemsize
+    if n <= 2 * _FETCH_CHUNK:
+        return np.asarray(flat).reshape(shape)
+    per = _FETCH_CHUNK // flat.dtype.itemsize
+    out = np.empty((flat.shape[0],), flat.dtype)
+    for lo in range(0, flat.shape[0], per):
+        hi = min(lo + per, flat.shape[0])
+        out[lo:hi] = np.asarray(flat[lo:hi])
+    return out.reshape(shape)
 
 
 def _plan_strips(offs, szs, ww, m, gap, nb, dw, strip_w, kind="multiband"):
