@@ -91,11 +91,16 @@ def block_sample(data, sxc, syc, care, *, interpret=False):
     nby, nbx = th // GY, tw // GX
     nbt = B * nby * nbx
 
+    # all-invalid blocks leave the masked min at the filler; cap it at
+    # the image extent BEFORE the int cast (f32->s32 conversion of
+    # out-of-range values is implementation-defined)
     big = jnp.float32(3e9)
     bx = jnp.where(care, sxc, big).reshape(
         B, nby, GY, nbx, GX).min(axis=(2, 4))
     by = jnp.where(care, syc, big).reshape(
         B, nby, GY, nbx, GX).min(axis=(2, 4))
+    bx = jnp.minimum(bx, jnp.float32(W))
+    by = jnp.minimum(by, jnp.float32(H))
     x0 = jnp.clip(jnp.floor(bx).astype(jnp.int32), 0, W - SX)
     y0 = jnp.clip(jnp.floor(by).astype(jnp.int32), 0, H - SY)
     rx = sxc - jnp.repeat(jnp.repeat(x0, GY, 1), GX, 2).astype(jnp.float32)
@@ -232,6 +237,8 @@ def block_sample_dma(data, sxc, syc, care, *, interpret=False):
         B, nby, GY, nbx, GX).min(axis=(2, 4))
     by = jnp.where(care, syc, big).reshape(
         B, nby, GY, nbx, GX).min(axis=(2, 4))
+    bx = jnp.minimum(bx, jnp.float32(W))    # cap filler pre-cast (above)
+    by = jnp.minimum(by, jnp.float32(H))
     # quantized starts (floor to the DMA alignment, clipped in units)
     x128 = jnp.clip(jnp.floor(bx).astype(jnp.int32) // 128, 0,
                     (W - SX2) // 128)

@@ -221,3 +221,20 @@ def test_stream_composite_frontier_fetch_matches():
                                       err_msg=kind)
         np.testing.assert_array_equal(np.asarray(mask_b), mask_s,
                                       err_msg=kind)
+
+
+def test_fetch_image_chunked_roundtrip():
+    """fetch_image chunks transfers above 2x the sweet-spot RPC size;
+    the reassembled host image must be exact."""
+    import jax.numpy as jnp
+
+    from stitching_tpu.compose import _FETCH_CHUNK, fetch_image
+
+    rng = np.random.RandomState(3)
+    h = (3 * _FETCH_CHUNK) // (1024 * 3) + 7     # > 2 chunks of u8
+    img = rng.randint(0, 255, (h, 1024, 3), np.uint8)
+    out = fetch_image(jnp.asarray(img))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(out, img)
+    # host arrays pass through untouched
+    assert fetch_image(img) is img
