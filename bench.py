@@ -259,15 +259,17 @@ def main():
     except Exception as e:  # never let the roofline probe kill the bench
         kernels = {"error": repr(e)}
 
-    # Natural-photograph variant (offline package photos; smaller set —
-    # a secondary signal that the pipeline's throughput holds on real
-    # image statistics, not just the synthetic box scene)
+    # Natural-photograph variant (offline package photos) at the SAME
+    # workload shape as the headline — a secondary signal that the
+    # pipeline's throughput holds on real image statistics, not just the
+    # synthetic box scene
     natural_mps = None
     try:
         from fixtures import natural_rotation_set
 
-        nat_imgs, _, _ = natural_rotation_set(n=6, size=(800, 600),
-                                              focal=700.0, max_angle=0.5)
+        nat_imgs, _, _ = natural_rotation_set(
+            n=8, size=(1600, 1200), focal=1400.0, max_angle=0.6,
+            scene_hw=(2400, 6200))
         st_n = Stitcher(crop=False)
         p = st_n.stitch(nat_imgs)       # warm
         t0 = time.time()

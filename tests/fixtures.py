@@ -76,13 +76,14 @@ def natural_scene(h=1000, w=1800):
 
 
 def natural_rotation_set(n=4, size=(640, 480), focal=600.0, max_angle=0.5,
-                         tilt=0.0):
+                         tilt=0.0, scene_hw=(1000, 1800)):
     """`rotation_set` on the natural-photograph scene: n views from a
     purely rotating camera with KNOWN (K, R) ground truth. Returns
-    (imgs, K, R_list)."""
+    (imgs, K, R_list). `scene_hw` sizes the scene so wide-FOV view sets
+    (e.g. the bench's 1600x1200 at focal 1400, +-0.6 rad) stay inside."""
     assert cv2 is not None, "natural_rotation_set needs cv2 to render"
     w, h = size
-    scene = natural_scene()
+    scene = natural_scene(*scene_hw)
     K_scene = np.array([[focal, 0, scene.shape[1] / 2],
                         [0, focal, scene.shape[0] / 2],
                         [0, 0, 1.0]])
