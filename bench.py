@@ -125,8 +125,9 @@ def kernel_microbench(imgs):
     t, _ = timed(run_detect)
     out["detect_orb"] = {
         "ms": round(t * 1e3, 1),
-        "note": "gather-descriptor bound (orientation/BRIEF patch "
-                "sampling ~30M descriptors)",
+        "note": "per-keypoint (40,40) windows + static moment "
+                "functional + one-hot BRIEF select (was 151 ms on the "
+                "per-element patch-gather formulation, r4)",
     }
 
     t, _ = timed(lambda: match_stack(feats, np.asarray(med.sizes)))
