@@ -3,8 +3,11 @@
 XLA gathers of 45K (24,384) windows run at ~100 ms (~2.2 us/window)
 regardless of alignment/dtype/shape (probe_gather_variants). This
 measures whether explicit Pallas DMAs (issued from the scalar core,
-overlappable with compute) beat that, with the alignment Mosaic demands
-(dynamic starts divisible by the (8, 128) tiling on the sliced dims).
+overlappable with compute) beat that, with the alignment Mosaic demands:
+lane-dim starts MUST be 128-aligned (an x-free variant fails the
+divisibility proof), sublane starts 8-aligned and proven statically by
+passing start//8 and multiplying inside pl.ds. Measured: ~1.1 us/window
+(45 GB/s incl. write-back) — the production v2 warp builds on this.
 """
 
 import os
@@ -49,7 +52,7 @@ def _kernel(y0_ref, x0_ref, img_ref, out_ref, sems):
     for k in range(KB):
         dma = pltpu.make_async_copy(
             img_ref.at[pl.ds(y0_ref[0, 0, k] * 8, SY),
-                       pl.ds(x0_ref[0, 0, k] * 3, SXC)],
+                       pl.ds(x0_ref[0, 0, k] * 384, SXC)],
             out_ref.at[k], sems.at[k])
         dma.start()
     for k in range(KB):
@@ -82,10 +85,10 @@ def main():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(ROWS, COLS).astype(np.float32))
     y0 = jnp.asarray(rng.randint(0, ROWS - SY, NBT) // 8, jnp.int32)
-    x0 = jnp.asarray(rng.randint(0, (COLS - SXC) // 3, NBT), jnp.int32)
+    x0 = jnp.asarray(rng.randint(0, COLS - SXC, NBT) // 384, jnp.int32)
     t = timed(pallas_fetch, img, y0, x0)
     bytes_ = NBT * SY * SXC * 4
-    print(f"pallas DMA windows ({SY},{SXC}) y8-aligned x-free: {t*1e3:.1f} ms  "
+    print(f"pallas DMA windows ({SY},{SXC}) aligned: {t*1e3:.1f} ms  "
           f"{bytes_/1e9/t:.1f} GB/s  ({t/NBT*1e9:.0f} ns/window)")
 
 
