@@ -70,7 +70,7 @@ def pallas_fetch(img, y0, x0):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, KB), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((KB, SY, SXC), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBT, SY, SXC), jnp.float32),

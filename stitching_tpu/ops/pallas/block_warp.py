@@ -277,7 +277,7 @@ def block_sample_dma(data, sxc, syc, care, *, interpret=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, KB2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((KB2, P), lambda i: (i, 0)),
             pl.BlockSpec((KB2, P), lambda i: (i, 0)),
         ],
