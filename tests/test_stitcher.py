@@ -148,3 +148,32 @@ def test_stitch_device_matches_host_path():
     dev_pano = fetch_image(dev)
     assert dev_pano.dtype == np.uint8
     np.testing.assert_allclose(dev_pano.shape, host_pano.shape, atol=4)
+
+
+def test_stitch_device_subsets_noise_image():
+    """Device-resident path + subsetting: a non-matching image is dropped
+    (with the reference warning) and the prestaged stack is re-gathered
+    on device."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fixtures import rotation_set
+    from stitching_tpu import Stitcher
+    from stitching_tpu.compose import fetch_image
+    from stitching_tpu.errors import StitchingWarning
+    from stitching_tpu.pipeline import stack_images
+
+    imgs, K, Rs = rotation_set(n=3, size=(512, 384), focal=450.0,
+                               max_angle=0.35)
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 255, imgs[0].shape, np.uint8)
+    all_imgs = imgs + [noise]
+    stack = stack_images(all_imgs)
+    with _pytest.warns(StitchingWarning):
+        dev = Stitcher(crop=False).stitch_device(all_imgs,
+                                                 prestaged=stack)
+    pano = fetch_image(dev)
+    ref = Stitcher(crop=False)
+    with _pytest.warns(StitchingWarning):
+        host_pano = ref.stitch(all_imgs)
+    np.testing.assert_allclose(pano.shape, host_pano.shape, atol=6)
